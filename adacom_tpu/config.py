@@ -1,0 +1,127 @@
+"""Engine configuration.
+
+Typed equivalent of the reference's DBConfig flags
+(src/include/duckdb/main/config.hpp:189-197), which there are C++-only;
+here every knob is a dataclass field AND settable through SQL
+(``SET succinct_enabled = false`` / ``PRAGMA memory_limit='1GB'``),
+fixing the reference's gap (flags not registered in settings.cpp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class DBConfig:
+    # --- AdaCom codec policy (reference config.hpp:189-197) ---
+    # Master switch: integer segments are born succinct-eligible.
+    succinct_enabled: bool = True
+    # Frame-of-reference: subtract the per-segment minimum before packing.
+    succinct_extract_prefix_enabled: bool = True
+    # Round the packed bit width up to the next multiple of 8.
+    succinct_padded_to_next_byte_enabled: bool = False
+    # Adaptive mode: segments are born plain and a background policy
+    # compresses cold ones; non-adaptive mode compacts eagerly on first scan
+    # (reference column_segment.cpp:154-188).
+    adaptive_succinct_compression_enabled: bool = False
+
+    # --- Adaptive policy knobs (reference hard-codes 10 s / 0.9:
+    #     column_segment_catalog.cpp:64-116) ---
+    compaction_period_s: float = 10.0
+    compression_rate: float = 0.9
+
+    # --- Engine ---
+    # Rows per column segment. Power of two, multiple of the 8x128 VPU tile
+    # and of the 32-row packing group (reference: 122880-row row groups x
+    # 256 KiB blocks, storage_info.hpp:18).
+    segment_rows: int = 1 << 16
+    # Buffer-manager memory limit in bytes (PRAGMA memory_limit). None =
+    # unlimited. (reference buffer_manager.cpp SetLimit)
+    memory_limit: Optional[int] = None
+    # Worker threads for host-side orchestration (PRAGMA threads).
+    threads: int = 0  # 0 = auto
+    # Force a compression codec at checkpoint ("uncompressed"|"succinct").
+    force_compression: Optional[str] = None
+    # Run scans/compaction on this platform ("tpu"|"cpu"|None=default).
+    platform: Optional[str] = None
+    # Enable per-query profiling (PRAGMA enable_profiling).
+    enable_profiling: bool = False
+    # Statement verification: re-run each SELECT unoptimized and compare
+    # (reference src/verification/statement_verifier.hpp).
+    query_verification_enabled: bool = False
+
+    def copy(self) -> "DBConfig":
+        return dataclasses.replace(self)
+
+    # SQL `SET key = value` support -------------------------------------
+    _BOOL_KEYS = frozenset(
+        {
+            "succinct_enabled",
+            "succinct_extract_prefix_enabled",
+            "succinct_padded_to_next_byte_enabled",
+            "adaptive_succinct_compression_enabled",
+            "enable_profiling",
+            "query_verification_enabled",
+        }
+    )
+
+    def set_option(self, key: str, value) -> None:
+        key = key.lower()
+        if key in self._BOOL_KEYS:
+            setattr(self, key, _as_bool(value))
+        elif key in ("compaction_period_s", "compression_rate"):
+            setattr(self, key, float(value))
+        elif key == "memory_limit":
+            self.memory_limit = parse_memory_limit(value)
+        elif key == "threads":
+            self.threads = int(value)
+        elif key == "force_compression":
+            v = str(value).strip("'\"").lower()
+            self.force_compression = None if v in ("", "auto", "none") else v
+        elif key == "segment_rows":
+            n = int(value)
+            if n <= 0 or n % 1024:
+                raise ValueError("segment_rows must be a positive multiple of 1024")
+            self.segment_rows = n
+        else:
+            raise KeyError(f"unknown setting: {key}")
+
+
+def _as_bool(value) -> bool:
+    if isinstance(value, bool):
+        return value
+    s = str(value).strip("'\"").lower()
+    if s in ("true", "1", "on", "yes"):
+        return True
+    if s in ("false", "0", "off", "no"):
+        return False
+    raise ValueError(f"not a boolean: {value!r}")
+
+
+_UNITS = {
+    "b": 1,
+    "kb": 1000,
+    "mb": 1000**2,
+    "gb": 1000**3,
+    "tb": 1000**4,
+    "kib": 1024,
+    "mib": 1024**2,
+    "gib": 1024**3,
+}
+
+
+def parse_memory_limit(value) -> Optional[int]:
+    """Parse '1GB' style limits (reference PRAGMA memory_limit)."""
+    if value is None:
+        return None
+    if isinstance(value, (int, float)):
+        return int(value)
+    s = str(value).strip().strip("'\"").lower().replace(" ", "")
+    if s in ("none", "unlimited", "-1", ""):
+        return None
+    for unit in sorted(_UNITS, key=len, reverse=True):
+        if s.endswith(unit):
+            return int(float(s[: -len(unit)]) * _UNITS[unit])
+    return int(float(s))
