@@ -1,0 +1,89 @@
+"""Schema catalog: tables, views, and the segment catalog hook.
+
+Parity with the reference Catalog (src/catalog/catalog.cpp): CreateTable /
+GetEntry / DropTable, and ownership of the ColumnSegmentCatalog
+(reference Catalog::GetColumnSegmentCatalog, catalog.cpp:75 — there a
+process-global static; here per-database)."""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional
+
+from adacom_tpu import types as tt
+from adacom_tpu.catalog.segment_catalog import ColumnSegmentCatalog
+from adacom_tpu.storage.table import Table
+
+
+class CatalogException(Exception):
+    pass
+
+
+class Catalog:
+    def __init__(self, config, buffer_manager):
+        self.config = config
+        self.bm = buffer_manager
+        self._lock = threading.RLock()
+        self.tables: Dict[str, Table] = {}
+        self.views: Dict[str, str] = {}  # name -> SELECT sql
+        self.segment_catalog = ColumnSegmentCatalog(config)
+        # reference Catalog::Initialize starts background compaction when
+        # adaptive mode is on (catalog.cpp:67-71; there it starts
+        # unconditionally due to an empty if — a defect we fix)
+        if config.adaptive_succinct_compression_enabled:
+            self.segment_catalog.enable_background_compaction()
+
+    def get_column_segment_catalog(self) -> ColumnSegmentCatalog:
+        return self.segment_catalog
+
+    def create_table(
+        self, name: str, columns: List[tuple], if_not_exists: bool = False
+    ) -> Table:
+        key = name.lower()
+        with self._lock:
+            if key in self.tables or key in self.views:
+                if if_not_exists:
+                    return self.tables[key]
+                raise CatalogException(f"table {name!r} already exists")
+            t = Table(key, columns, self.config, self.bm, self.segment_catalog)
+            self.tables[key] = t
+            return t
+
+    def get_table(self, name: str) -> Table:
+        t = self.tables.get(name.lower())
+        if t is None:
+            raise CatalogException(f"table {name!r} does not exist")
+        return t
+
+    def has_table(self, name: str) -> bool:
+        return name.lower() in self.tables
+
+    def drop_table(self, name: str, if_exists: bool = False) -> None:
+        key = name.lower()
+        with self._lock:
+            t = self.tables.pop(key, None)
+            if t is None:
+                if if_exists:
+                    return
+                raise CatalogException(f"table {name!r} does not exist")
+            for c in t.column_order:
+                col = t.columns[c]
+                for s in col.segments:
+                    self.segment_catalog.remove_column_segment(s)
+                    self.bm.add_to_data_size(-s.footprint_bytes())
+                    s.page_out()
+
+    def create_view(self, name: str, sql: str, or_replace: bool = False):
+        key = name.lower()
+        with self._lock:
+            if key in self.tables:
+                raise CatalogException(f"{name!r} is a table")
+            if key in self.views and not or_replace:
+                raise CatalogException(f"view {name!r} already exists")
+            self.views[key] = sql
+
+    def get_view(self, name: str) -> Optional[str]:
+        return self.views.get(name.lower())
+
+    def shutdown(self):
+        self.segment_catalog.disable_background_compaction()

@@ -1,0 +1,257 @@
+"""Columns and tables: segment trees, staging ingest, string dictionaries.
+
+Parity targets:
+- ColumnData / segment tree (reference src/storage/table/column_data.cpp):
+  a column is an ordered list of sealed ColumnSegments plus a host-side
+  staging buffer for appends; appending into a sealed partial segment
+  un-seals it first (the reference Uncompact()s compacted segments before
+  Append, column_segment.cpp:253-259).
+- DataTable / RowGroupCollection (src/storage/data_table.cpp,
+  row_group_collection.cpp): aligned per-column segments, shared row count,
+  append lock, delete bitmaps.
+- Dictionary compression for VARCHAR (src/storage/compression/
+  dictionary_compression.cpp) is made the *primary* string representation:
+  device arrays hold uint32 dict codes; the dictionary lives host-side.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from adacom_tpu import types as tt
+from adacom_tpu.storage.segment import ColumnSegment
+
+
+class StringDictionary:
+    """Append-only string dictionary: str <-> uint32 code."""
+
+    def __init__(self):
+        self._codes: Dict[str, int] = {}
+        self._strings: List[str] = []
+
+    def __len__(self):
+        return len(self._strings)
+
+    def encode_one(self, s: str) -> int:
+        code = self._codes.get(s)
+        if code is None:
+            code = len(self._strings)
+            self._codes[s] = code
+            self._strings.append(s)
+        return code
+
+    def encode(self, values: Sequence) -> np.ndarray:
+        out = np.empty(len(values), dtype=np.uint32)
+        enc = self.encode_one
+        for i, v in enumerate(values):
+            out[i] = enc(v if isinstance(v, str) else ("" if v is None else str(v)))
+        return out
+
+    def lookup(self, s: str) -> Optional[int]:
+        return self._codes.get(s)
+
+    def decode(self, codes: np.ndarray) -> List[str]:
+        strs = self._strings
+        return [strs[c] for c in codes]
+
+    def strings_array(self) -> np.ndarray:
+        return np.asarray(self._strings, dtype=object)
+
+    def rank_array(self) -> np.ndarray:
+        """rank[code] = position of the string in sorted order (for ORDER BY
+        / range comparisons on dictionary codes)."""
+        order = np.argsort(np.asarray(self._strings, dtype=object), kind="stable")
+        rank = np.empty(len(self._strings), dtype=np.uint32)
+        rank[order] = np.arange(len(self._strings), dtype=np.uint32)
+        return rank
+
+
+class Column:
+    def __init__(self, name: str, ltype: tt.LogicalType, config, bm, seg_catalog):
+        self.name = name
+        self.ltype = ltype
+        self.config = config
+        self.bm = bm
+        self.seg_catalog = seg_catalog
+        self.segments: List[ColumnSegment] = []
+        self.dictionary: Optional[StringDictionary] = (
+            StringDictionary() if ltype.is_string else None
+        )
+        # staging: list of (values, validity|None) numpy chunks not yet sealed
+        self._staging: List[tuple] = []
+        self._staged_rows = 0
+
+    # ---------------- ingest ----------------
+    def stage(self, values: np.ndarray, validity: Optional[np.ndarray] = None):
+        values = np.ascontiguousarray(values)
+        self._staging.append((values, validity))
+        self._staged_rows += len(values)
+        seg_rows = self.config.segment_rows
+        while self._staged_rows >= seg_rows:
+            self._seal_rows(seg_rows)
+
+    def _concat_staging(self):
+        vals = np.concatenate([v for v, _ in self._staging]) if len(self._staging) > 1 else self._staging[0][0]
+        if any(m is not None for _, m in self._staging):
+            masks = [
+                (m if m is not None else np.ones(len(v), dtype=np.bool_))
+                for v, m in self._staging
+            ]
+            mask = np.concatenate(masks) if len(masks) > 1 else masks[0]
+        else:
+            mask = None
+        return vals, mask
+
+    def _seal_rows(self, n: int):
+        vals, mask = self._concat_staging()
+        take_v, rest_v = vals[:n], vals[n:]
+        take_m = mask[:n] if mask is not None else None
+        rest_m = mask[n:] if mask is not None else None
+        start_row = sum(s.count for s in self.segments)
+        seg = ColumnSegment(
+            self.ltype, take_v, self.config, self.bm,
+            validity=take_m, start_row=start_row,
+        )
+        self.segments.append(seg)
+        self.bm.add_to_data_size(seg.footprint_bytes())
+        if self.seg_catalog is not None:
+            self.seg_catalog.add_column_segment(seg)
+        self._staging = [(rest_v, rest_m)] if len(rest_v) else []
+        self._staged_rows = len(rest_v)
+
+    def flush(self):
+        """Seal any partial staging into a (short) final segment."""
+        if self._staged_rows:
+            self._seal_rows(self._staged_rows)
+
+    def unseal_last_partial(self):
+        """Pull a trailing partial segment back into staging so appends can
+        continue filling it (reference: Uncompact-then-Append)."""
+        if self._staged_rows or not self.segments:
+            return
+        last = self.segments[-1]
+        if last.count >= self.config.segment_rows:
+            return
+        self.segments.pop()
+        if self.seg_catalog is not None:
+            self.seg_catalog.remove_column_segment(last)
+        self.bm.add_to_data_size(-last.footprint_bytes())
+        last.page_out()
+        vals = last._host_values
+        mask = last._validity_np
+        self._staging = [(vals, mask)]
+        self._staged_rows = len(vals)
+
+    # ---------------- info ----------------
+    def row_count(self) -> int:
+        return sum(s.count for s in self.segments) + self._staged_rows
+
+    def footprint_bytes(self) -> int:
+        n = sum(s.footprint_bytes() for s in self.segments)
+        n += self._staged_rows * self.ltype.np_dtype.itemsize
+        return n
+
+    def compact_all(self):
+        self.flush()
+        for s in self.segments:
+            s.compact()
+
+    def uncompact_all(self):
+        for s in self.segments:
+            s.uncompact()
+
+
+class Table:
+    def __init__(self, name: str, columns: List[tuple], config, bm, seg_catalog):
+        """columns: list of (name, LogicalType)."""
+        self.name = name
+        self.config = config
+        self.bm = bm
+        self.column_order = [c for c, _ in columns]
+        self.columns: Dict[str, Column] = {
+            c: Column(c, t, config, bm, seg_catalog) for c, t in columns
+        }
+        self._append_lock = threading.Lock()
+        # deleted-row bitmaps, one bool array per sealed segment index
+        self._deletes: Dict[int, np.ndarray] = {}
+        self._has_deletes = False
+
+    @property
+    def column_types(self) -> List[tt.LogicalType]:
+        return [self.columns[c].ltype for c in self.column_order]
+
+    def row_count(self) -> int:
+        if not self.column_order:
+            return 0
+        return self.columns[self.column_order[0]].row_count()
+
+    # ---------------- ingest ----------------
+    def append_batch(self, data: Dict[str, np.ndarray], validity: Optional[Dict[str, np.ndarray]] = None):
+        """Append aligned column arrays (one batch of rows)."""
+        with self._append_lock:
+            n = None
+            for c in self.column_order:
+                if c not in data:
+                    raise KeyError(f"missing column {c} in append")
+                if n is None:
+                    n = len(data[c])
+                elif len(data[c]) != n:
+                    raise ValueError("ragged append batch")
+            for c in self.column_order:
+                col = self.columns[c]
+                col.unseal_last_partial()
+                vals = data[c]
+                if col.dictionary is not None and (
+                    not isinstance(vals, np.ndarray) or vals.dtype.kind in "OUS"
+                ):
+                    vals = col.dictionary.encode(list(vals))
+                else:
+                    vals = np.asarray(vals)
+                    if vals.dtype != col.ltype.np_dtype:
+                        vals = vals.astype(col.ltype.np_dtype)
+                mask = validity.get(c) if validity else None
+                col.stage(vals, mask)
+
+    def flush(self):
+        with self._append_lock:
+            for c in self.column_order:
+                self.columns[c].flush()
+
+    # ---------------- scan support ----------------
+    def segment_count(self) -> int:
+        self.flush()
+        if not self.column_order:
+            return 0
+        return len(self.columns[self.column_order[0]].segments)
+
+    def segment(self, col: str, i: int) -> ColumnSegment:
+        return self.columns[col].segments[i]
+
+    def segment_rows(self, i: int) -> int:
+        return self.columns[self.column_order[0]].segments[i].count
+
+    def delete_mask(self, i: int) -> Optional[np.ndarray]:
+        return self._deletes.get(i)
+
+    def mark_deleted(self, seg_idx: int, rows: np.ndarray):
+        seg_rows = self.segment_rows(seg_idx)
+        m = self._deletes.get(seg_idx)
+        if m is None:
+            m = np.zeros(seg_rows, dtype=np.bool_)
+            self._deletes[seg_idx] = m
+        m[rows] = True
+        self._has_deletes = True
+
+    def compact_all(self):
+        for c in self.column_order:
+            self.columns[c].compact_all()
+
+    def uncompact_all(self):
+        for c in self.column_order:
+            self.columns[c].uncompact_all()
+
+    def footprint_bytes(self) -> int:
+        return sum(self.columns[c].footprint_bytes() for c in self.column_order)

@@ -1,0 +1,165 @@
+"""Segment / column / table storage tests: compact round-trips, zonemaps,
+nulls, 64-bit planes, paging, adaptive policy."""
+
+import numpy as np
+
+from adacom_tpu import types as tt
+from adacom_tpu.config import DBConfig
+from adacom_tpu.catalog.segment_catalog import ColumnSegmentCatalog
+from adacom_tpu.storage.buffer import BufferManager
+from adacom_tpu.storage.segment import ColumnSegment
+from adacom_tpu.storage.table import Table
+
+
+def _mk(config=None):
+    config = config or DBConfig(segment_rows=4096)
+    bm = BufferManager(config)
+    cat = ColumnSegmentCatalog(config)
+    return config, bm, cat
+
+
+def test_segment_compact_roundtrip(rng):
+    config, bm, _ = _mk()
+    vals = rng.integers(1_000_000, 1_065_536, size=4096, dtype=np.uint32)
+    seg = ColumnSegment(tt.UINTEGER, vals, config, bm)
+    np.testing.assert_array_equal(np.asarray(seg.decoded()), vals)
+    assert seg.compact()
+    assert seg.is_compacted()
+    # width 17 -> ~17/32 of plain footprint
+    assert seg.footprint_bytes() < 4096 * 4 * 0.6
+    np.testing.assert_array_equal(np.asarray(seg.decoded()), vals)
+    assert seg.uncompact()
+    np.testing.assert_array_equal(np.asarray(seg.decoded()), vals)
+
+
+def test_segment_constant(rng):
+    config, bm, _ = _mk()
+    vals = np.full(4096, 7_777_777, dtype=np.uint32)
+    seg = ColumnSegment(tt.UINTEGER, vals, config, bm)
+    seg.compact()
+    assert seg.footprint_bytes() == 0  # constant plane stores nothing
+    np.testing.assert_array_equal(np.asarray(seg.decoded()), vals)
+
+
+def test_segment_int64_two_planes(rng):
+    config, bm, _ = _mk()
+    base = 10_000_000_000
+    vals = (rng.integers(0, 1 << 40, size=4096, dtype=np.int64) + base).astype(np.int64)
+    seg = ColumnSegment(tt.BIGINT, vals, config, bm)
+    seg.compact()
+    np.testing.assert_array_equal(np.asarray(seg.decoded()), vals)
+    # 40-bit span -> ~(32+8)/64 of plain
+    assert seg.footprint_bytes() < 4096 * 8 * 0.75
+
+
+def test_segment_signed_negative(rng):
+    config, bm, _ = _mk()
+    vals = rng.integers(-500, 12_000, size=4096).astype(np.int32)
+    seg = ColumnSegment(tt.INTEGER, vals, config, bm)
+    seg.compact()
+    np.testing.assert_array_equal(np.asarray(seg.decoded()), vals)
+    assert seg.vmin == int(vals.min()) and seg.vmax == int(vals.max())
+
+
+def test_segment_fetch_rows(rng):
+    config, bm, _ = _mk()
+    vals = rng.integers(0, 1 << 20, size=4096, dtype=np.uint32)
+    seg = ColumnSegment(tt.UINTEGER, vals, config, bm)
+    seg.compact()
+    idx = rng.integers(0, 4096, size=100)
+    np.testing.assert_array_equal(seg.fetch_rows(idx), vals[idx])
+
+
+def test_segment_nulls(rng):
+    config, bm, _ = _mk()
+    vals = rng.integers(0, 1000, size=4096, dtype=np.uint32)
+    validity = rng.random(4096) > 0.1
+    seg = ColumnSegment(tt.UINTEGER, vals, config, bm, validity=validity)
+    assert seg.null_count == int((~validity).sum())
+    vr = seg.validity_reader()
+    assert vr is not None
+    meta, arrays, decode = vr
+    bits = np.asarray(decode(*arrays))[:4096]
+    np.testing.assert_array_equal(bits.astype(bool), validity)
+
+
+def test_table_staging_and_segment_alignment(rng):
+    config, bm, cat = _mk()
+    t = Table("t", [("a", tt.UINTEGER), ("b", tt.BIGINT)], config, bm, cat)
+    for _ in range(5):
+        n = 3000
+        t.append_batch({"a": rng.integers(0, 100, n).astype(np.uint32),
+                        "b": rng.integers(0, 100, n).astype(np.int64)})
+    assert t.row_count() == 15000
+    t.flush()
+    assert t.segment_count() == 4  # ceil(15000/4096)
+    assert t.segment("a", 3).count == 15000 - 3 * 4096
+
+
+def test_table_unseal_partial_append(rng):
+    config, bm, cat = _mk()
+    t = Table("t", [("a", tt.UINTEGER)], config, bm, cat)
+    t.append_batch({"a": np.arange(100, dtype=np.uint32)})
+    t.flush()
+    assert t.segment_count() == 1
+    t.append_batch({"a": np.arange(100, 200, dtype=np.uint32)})
+    t.flush()
+    # appended into the same partial segment, not a new one
+    assert t.segment_count() == 1
+    np.testing.assert_array_equal(
+        np.asarray(t.segment("a", 0).decoded()), np.arange(200, dtype=np.uint32)
+    )
+
+
+def test_adaptive_policy_step(rng):
+    config, bm, cat = _mk()
+    t = Table("t", [("a", tt.UINTEGER)], config, bm, cat)
+    t.append_batch({"a": rng.integers(0, 1 << 20, 4096 * 10).astype(np.uint32)})
+    t.flush()
+    segs = t.columns["a"].segments
+    assert len(segs) == 10
+    # hot: last segment read many times
+    for _ in range(50):
+        segs[-1].add_read_access()
+    n_c, n_u = cat.compress_lowest_k_segments(rate=0.9)
+    assert n_c == 9
+    assert not segs[-1].is_compacted()
+    assert all(s.is_compacted() for s in segs[:-1])
+    # counters decayed, not reset
+    assert segs[-1].num_reads == 25
+
+
+def test_memory_limit_paging(rng):
+    config = DBConfig(segment_rows=4096)
+    config.memory_limit = 4096 * 4 * 3  # room for ~3 plain segments
+    bm = BufferManager(config)
+    cat = ColumnSegmentCatalog(config)
+    t = Table("t", [("a", tt.UINTEGER)], config, bm, cat)
+    t.append_batch({"a": rng.integers(0, 1 << 20, 4096 * 8).astype(np.uint32)})
+    t.flush()
+    segs = t.columns["a"].segments
+    # scan everything twice; paging keeps device bytes under the limit
+    for _ in range(2):
+        for s in segs:
+            _ = s.decoded()
+    assert bm.device_bytes <= config.memory_limit
+    for s in segs:
+        np.testing.assert_array_equal(
+            np.asarray(s.decoded()),
+            s._host_values,
+        )
+
+
+def test_data_size_accounting(rng):
+    config, bm, cat = _mk()
+    t = Table("t", [("a", tt.UINTEGER)], config, bm, cat)
+    t.append_batch({"a": rng.integers(0, 1 << 17, 4096 * 4).astype(np.uint32)})
+    t.flush()
+    plain_size = bm.get_data_size()
+    assert plain_size == 4096 * 4 * 4
+    t.compact_all()
+    packed_size = bm.get_data_size()
+    assert packed_size < plain_size
+    assert packed_size == cat.get_total_data_size()
+    t.uncompact_all()
+    assert bm.get_data_size() == plain_size
