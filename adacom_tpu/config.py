@@ -46,6 +46,11 @@ class DBConfig:
     force_compression: Optional[str] = None
     # Run scans/compaction on this platform ("tpu"|"cpu"|None=default).
     platform: Optional[str] = None
+    # Latency tier: selective point-lookup scans touching at most this many
+    # segments are answered from the host copy (numpy SIMD) instead of
+    # paying a device dispatch+transfer roundtrip; large scans/aggregates
+    # always run on the TPU where HBM bandwidth wins. 0 disables.
+    host_scan_segment_limit: int = 4
     # Enable per-query profiling (PRAGMA enable_profiling).
     enable_profiling: bool = False
     # Statement verification: re-run each SELECT unoptimized and compare
@@ -80,6 +85,8 @@ class DBConfig:
         elif key == "force_compression":
             v = str(value).strip("'\"").lower()
             self.force_compression = None if v in ("", "auto", "none") else v
+        elif key == "host_scan_segment_limit":
+            self.host_scan_segment_limit = int(value)
         elif key == "segment_rows":
             n = int(value)
             if n <= 0 or n % 1024:

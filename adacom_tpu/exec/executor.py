@@ -1,0 +1,1298 @@
+"""Query executor: logical plan -> fused jitted device stages + host glue.
+
+Parity with the reference's physical planner + pipeline executor
+(src/execution/physical_plan_generator.cpp, src/parallel/pipeline_executor.cpp):
+each LogicalGet becomes a streaming source over column segments; filters and
+group/aggregate expressions fuse with segment *decode* into one XLA kernel
+per (segment representation, plan template) — the TPU version of the
+reference's scan hot loop (RowGroup::TemplatedScan, row_group.cpp:324-457)
+with the decode+predicate fusion it lacks. Zonemap skipping
+(CheckZonemapSegments, row_group.cpp:287) happens host-side over vectorized
+per-table stats. Joins/sorts run as vectorized host operators this
+milestone (device radix variants are later milestones; see SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adacom_tpu import types as tt
+from adacom_tpu.ops import agg as agg_ops
+from adacom_tpu.ops import bitpack, segcodec
+from adacom_tpu.ops.select import compact_traced, tail_mask
+from adacom_tpu.sql import bound as b
+from adacom_tpu.exec.expr import ExprCompiler, CompiledExpr, compute_dtype_of
+
+
+# ======================================================================
+# materialized batches
+# ======================================================================
+
+
+@dataclasses.dataclass
+class Mat:
+    names: List[str]
+    types: List[tt.LogicalType]
+    dicts: List[Any]
+    cols: List[np.ndarray]
+    valids: List[Optional[np.ndarray]]
+
+    @property
+    def nrows(self) -> int:
+        return len(self.cols[0]) if self.cols else self._nrows
+
+    _nrows: int = 0
+
+    @classmethod
+    def empty_like(cls, node: b.LogicalOp) -> "Mat":
+        dicts = getattr(node, "dicts", [None] * len(node.names))
+        return cls(
+            list(node.names), list(node.types), list(dicts),
+            [np.empty(0, compute_dtype_of(t)) for t in node.types],
+            [None] * len(node.names),
+        )
+
+    def take(self, idx: np.ndarray) -> "Mat":
+        return Mat(
+            self.names, self.types, self.dicts,
+            [c[idx] for c in self.cols],
+            [None if v is None else v[idx] for v in self.valids],
+        )
+
+
+# ======================================================================
+# segment decoding from meta (pure functions of the static trace key)
+# ======================================================================
+
+
+def seg_arg_count(meta) -> int:
+    kind = meta[0]
+    if kind == "plain":
+        return 1
+    if kind == "packed":
+        widths, n_lanes, dtype = meta[1]
+        return sum(1 for w in widths if w > 0) + 1  # words... + min_factor
+    raise ValueError(meta)
+
+
+def make_seg_decoder(meta, compute_dtype):
+    kind = meta[0]
+    if kind == "plain":
+        def decode(args):
+            return args[0]
+        return decode
+    widths, n_lanes, dtype = meta[1]
+    n_pad = bitpack.ROWS * n_lanes
+
+    def decode(args):
+        mf = args[-1]
+        ws = []
+        i = 0
+        for w in widths:
+            if w == 0:
+                ws.append(None)
+            else:
+                ws.append(args[i])
+                i += 1
+        if all(w == 0 for w in widths):
+            return segcodec.decode_constant(mf, n_pad, compute_dtype)
+        return segcodec.decode_traced(
+            tuple(ws), mf, widths=widths, compute_dtype=compute_dtype
+        )
+    return decode
+
+
+# ======================================================================
+# executor
+# ======================================================================
+
+
+class ExecError(Exception):
+    pass
+
+
+class Executor:
+    def __init__(self, database):
+        self.db = database
+        self.config = database.config
+
+    # ------------------------------------------------------------------
+    def execute(self, plan: b.LogicalOp, lits: List[Any]) -> Mat:
+        return self._exec(plan, lits)
+
+    def _exec(self, node: b.LogicalOp, lits) -> Mat:
+        if isinstance(node, b.LogicalGet):
+            return self._materialize_scan(node, lits)
+        if isinstance(node, b.LogicalValues):
+            return self._exec_values(node, lits)
+        if isinstance(node, b.LogicalFilter):
+            return self._exec_filter(node, lits)
+        if isinstance(node, b.LogicalProject):
+            return self._exec_project(node, lits)
+        if isinstance(node, b.LogicalAggregate):
+            return self._exec_aggregate(node, lits)
+        if isinstance(node, b.LogicalJoin):
+            return self._exec_join(node, lits)
+        if isinstance(node, b.LogicalOrder):
+            return self._exec_order(node, lits)
+        if isinstance(node, b.LogicalTopN):
+            return self._exec_topn(node, lits)
+        if isinstance(node, b.LogicalLimit):
+            return self._exec_limit(node, lits)
+        if isinstance(node, b.LogicalDistinct):
+            return self._exec_distinct(node, lits)
+        if isinstance(node, b.LogicalSetOp):
+            return self._exec_setop(node, lits)
+        raise ExecError(f"no executor for {type(node).__name__}")
+
+    # ==================================================================
+    # scans
+    # ==================================================================
+
+    def _compiled_filter(self, get: b.LogicalGet) -> Optional[CompiledExpr]:
+        cache = getattr(get, "_filter_cc", None)
+        if cache is not None:
+            return cache or None
+        if not get.filters:
+            get._filter_cc = False
+            return None
+        cond = get.filters[0]
+        for c in get.filters[1:]:
+            cond = b.BBinary(tt.BOOLEAN, "and", cond, c)
+        cc = ExprCompiler().compile(cond)
+        get._filter_cc = cc
+        return cc
+
+    def _zonemap_candidates(self, get: b.LogicalGet, lits) -> List[int]:
+        """Vectorized segment skipping from (col op literal) conjuncts."""
+        table = get.table
+        n_seg = table.segment_count()
+        keep = np.ones(n_seg, dtype=bool)
+        for f in get.filters:
+            probe = _zonemap_probe(f, lits)
+            if probe is None:
+                continue
+            col_idx, op, val = probe
+            col_name = get.column_ids[col_idx]
+            mins, maxs = self._table_zonemaps(table, col_name)
+            if op == "=":
+                keep &= (mins <= val) & (val <= maxs)
+            elif op in ("<", "<="):
+                keep &= mins <= val if op == "<=" else mins < val
+            elif op in (">", ">="):
+                keep &= maxs >= val if op == ">=" else maxs > val
+        return [i for i in range(n_seg) if keep[i]]
+
+    def _table_zonemaps(self, table, col_name):
+        col = table.columns[col_name]
+        cache = getattr(col, "_zonemap_cache", None)
+        nseg = len(col.segments)
+        if cache is not None and cache[0] == nseg:
+            return cache[1], cache[2]
+        mins = np.array([s.vmin for s in col.segments], dtype=np.float64)
+        maxs = np.array([s.vmax for s in col.segments], dtype=np.float64)
+        col._zonemap_cache = (nseg, mins, maxs)
+        return mins, maxs
+
+    def _scan_batches(self, get: b.LogicalGet, lits):
+        """Yield (seg_idx, count, kernel_output) per candidate segment.
+
+        kernel_output = (mask, cols) with cols = list[(values, valid|None)],
+        all padded to the segment's lane-padded length, still on device."""
+        table = get.table
+        table.flush()
+        filt = self._compiled_filter(get)
+        params = filt.prep_args(lits) if filt is not None else ()
+        candidates = self._zonemap_candidates(get, lits)
+        kernels = getattr(get, "_scan_kernels", None)
+        if kernels is None:
+            kernels = get._scan_kernels = {}
+        for i in candidates:
+            segs = [table.segment(c, i) for c in get.column_ids]
+            count = segs[0].count if segs else table.segment_rows(i)
+            metas = []
+            arrays = []
+            for s in segs:
+                meta, arrs = s.reader_arrays()
+                vmeta = s.validity_arrays()
+                if vmeta is not None:
+                    meta = (meta, "v")
+                    arrs = arrs + vmeta
+                else:
+                    meta = (meta, None)
+                metas.append(meta)
+                arrays.extend(arrs)
+            del_mask = table.delete_mask(i)
+            has_del = del_mask is not None
+            n_pad = bitpack.ROWS * bitpack.lanes_for(count)
+            key = (tuple(metas), n_pad, has_del, filt is not None)
+            kern = kernels.get(key)
+            if kern is None:
+                kern = _build_scan_kernel(
+                    tuple(metas),
+                    [compute_dtype_of(t) for t in get.types],
+                    filt, n_pad, has_del,
+                )
+                kernels[key] = kern
+            extra = []
+            if has_del:
+                dm = np.zeros(n_pad, dtype=bool)
+                dm[: len(del_mask)] = del_mask
+                extra.append(jnp.asarray(dm))
+            out = kern(np.int32(count), params, tuple(extra), *arrays)
+            yield i, count, out
+
+    def _materialize_scan(self, get: b.LogicalGet, lits) -> Mat:
+        # latency tier: a selective scan touching few segments is cheaper on
+        # the host copy than paying per-query device roundtrips
+        limit = self.config.host_scan_segment_limit
+        if limit and get.filters:
+            candidates = self._zonemap_candidates(get, lits)
+            if len(candidates) <= limit:
+                mat = self._materialize_scan_host(get, lits, candidates)
+                if mat is not None:
+                    return mat
+        return self._materialize_scan_device(get, lits)
+
+    def _materialize_scan_host(self, get: b.LogicalGet, lits, candidates) -> Optional[Mat]:
+        """NumPy evaluation over segment host copies; returns None when the
+        compiled filter doesn't stay in numpy (e.g. dict LUT gathers) —
+        caller falls back to the device path."""
+        table = get.table
+        filt = self._compiled_filter(get)
+        params = filt.prep_args(lits) if filt is not None else ()
+        ncols = len(get.column_ids)
+        per_col: List[List[np.ndarray]] = [[] for _ in range(ncols)]
+        per_valid: List[List[Optional[np.ndarray]]] = [[] for _ in range(ncols)]
+        any_valid = [False] * ncols
+        for i in candidates:
+            segs = [table.segment(c, i) for c in get.column_ids]
+            cols = []
+            for s in segs:
+                hv = s.host_plain()
+                hvv = s.host_validity()
+                cols.append((hv, hvv))
+            if filt is not None:
+                try:
+                    fv, fm = filt.fn(cols, params)
+                except Exception:
+                    return None
+                if not isinstance(fv, np.ndarray):
+                    return None
+                mask = fv
+                if fm is not None:
+                    mask = mask & fm
+            else:
+                mask = np.ones(segs[0].count, dtype=bool)
+            dm = table.delete_mask(i)
+            if dm is not None:
+                mask = mask & ~dm[: len(mask)]
+            rows = np.nonzero(mask)[0]
+            for c in range(ncols):
+                per_col[c].append(cols[c][0][rows])
+                v = cols[c][1]
+                if v is not None:
+                    any_valid[c] = True
+                per_valid[c].append(None if v is None else v[rows])
+        dicts = getattr(get, "dicts", [None] * ncols)
+        cols_np = [
+            np.concatenate(per_col[c]) if per_col[c]
+            else np.empty(0, compute_dtype_of(get.types[c]))
+            for c in range(ncols)
+        ]
+        valids_np: List[Optional[np.ndarray]] = []
+        for c in range(ncols):
+            if not any_valid[c]:
+                valids_np.append(None)
+            else:
+                valids_np.append(np.concatenate([
+                    v if v is not None else np.ones(len(a), bool)
+                    for v, a in zip(per_valid[c], per_col[c])
+                ]))
+        return Mat(list(get.names), list(get.types), list(dicts), cols_np, valids_np)
+
+    def _materialize_scan_device(self, get: b.LogicalGet, lits) -> Mat:
+        ncols = len(get.column_ids)
+        per_col: List[List[np.ndarray]] = [[] for _ in range(ncols)]
+        per_valid: List[List[np.ndarray]] = [[] for _ in range(ncols)]
+        any_valid = [False] * ncols
+        counts = []
+        for i, count, (mask, cols) in self._scan_batches(get, lits):
+            arrays = [v for v, _ in cols]
+            valid_arrays = [m for _, m in cols]
+            packed = _compact_batch(mask, tuple(arrays),
+                                    tuple(v for v in valid_arrays if v is not None))
+            cnt_vec, outs = packed[0], packed[1]
+            n = int(np.asarray(cnt_vec)[0])
+            counts.append(n)
+            # pull device-side slices padded to >=64 elements (tiny
+            # transfers are pathological on the device link)
+            m = min(outs[0].shape[0] if outs else 0, max(n, 64))
+            vi = 0
+            for c in range(ncols):
+                per_col[c].append(np.asarray(outs[c][:m])[:n])
+            rest = outs[ncols:]
+            for c in range(ncols):
+                if valid_arrays[c] is not None:
+                    any_valid[c] = True
+                    per_valid[c].append(np.asarray(rest[vi][:m])[:n])
+                    vi += 1
+                else:
+                    per_valid[c].append(None)
+        dicts = getattr(get, "dicts", [None] * ncols)
+        if not counts:
+            return Mat.empty_like(get)
+        cols_np = [np.concatenate(per_col[c]) if per_col[c] else
+                   np.empty(0, compute_dtype_of(get.types[c])) for c in range(ncols)]
+        valids_np: List[Optional[np.ndarray]] = []
+        for c in range(ncols):
+            if not any_valid[c]:
+                valids_np.append(None)
+            else:
+                chunks = [
+                    v if v is not None else np.ones(n, dtype=bool)
+                    for v, n in zip(per_valid[c], counts)
+                ]
+                valids_np.append(np.concatenate(chunks))
+        return Mat(list(get.names), list(get.types), list(dicts), cols_np, valids_np)
+
+    # ==================================================================
+    # filter / project over materialized input
+    # ==================================================================
+
+    def _eval_on_mat(self, exprs: List[b.BExpr], mat: Mat, lits):
+        """Evaluate expressions over a materialized batch.
+
+        Small batches evaluate in numpy (device roundtrips dominate at this
+        size); large batches or numpy-incompatible expressions go to the
+        device."""
+        ccs = []
+        for e in exprs:
+            cc = getattr(e, "_cc", None)
+            if cc is None:
+                cc = ExprCompiler().compile(e)
+                e._cc = cc
+            ccs.append(cc)
+        if mat.nrows <= (1 << 16) and all(isinstance(c, np.ndarray) for c in mat.cols):
+            cols_np = [(c, v) for c, v in zip(mat.cols, mat.valids)]
+            outs = []
+            ok = True
+            for cc in ccs:
+                try:
+                    v, m = cc.fn(cols_np, cc.prep_args(lits))
+                except Exception:
+                    ok = False
+                    break
+                if not isinstance(v, (np.ndarray, np.generic, str)) or (
+                    m is not None and not isinstance(m, (np.ndarray, np.generic))
+                ):
+                    ok = False
+                    break
+                outs.append((v, m))
+            if ok:
+                return outs
+        cols = []
+        for c, v in zip(mat.cols, mat.valids):
+            cols.append((jnp.asarray(c), None if v is None else jnp.asarray(v)))
+        outs = []
+        for cc in ccs:
+            args = cc.prep_args(lits)
+            v, m = cc.fn(cols, args)
+            outs.append((v, m))
+        return outs
+
+    def _exec_filter(self, node: b.LogicalFilter, lits) -> Mat:
+        mat = self._exec(node.child, lits)
+        if mat.nrows == 0:
+            return mat
+        (v, m), = self._eval_on_mat([node.condition], mat, lits)
+        mask = np.asarray(v)
+        if m is not None:
+            mask = mask & np.asarray(m)
+        if mask.ndim == 0:
+            mask = np.full(mat.nrows, bool(mask))
+        idx = np.nonzero(mask)[0]
+        return mat.take(idx)
+
+    def _exec_project(self, node: b.LogicalProject, lits) -> Mat:
+        mat = self._exec(node.child, lits)
+        outs = self._eval_on_mat(node.exprs, mat, lits)
+        n = mat.nrows
+        cols = []
+        valids = []
+        for (v, m), ty in zip(outs, node.types):
+            a = np.asarray(v)
+            if a.ndim == 0:
+                a = np.full(n, a)
+            cols.append(a)
+            if m is None:
+                valids.append(None)
+            else:
+                mm = np.asarray(m)
+                if mm.ndim == 0:
+                    mm = np.full(n, bool(mm))
+                valids.append(mm if not mm.all() else None)
+        dicts = getattr(node, "dicts", [None] * len(node.names))
+        return Mat(list(node.names), list(node.types), list(dicts), cols, valids)
+
+    def _exec_values(self, node: b.LogicalValues, lits) -> Mat:
+        # only used for SELECT without FROM (single row, no columns)
+        return Mat([], [], [], [], [])
+
+    # ==================================================================
+    # aggregation
+    # ==================================================================
+
+    def _exec_aggregate(self, node: b.LogicalAggregate, lits) -> Mat:
+        child = node.child
+        # fused scan-aggregate fast path
+        if isinstance(child, b.LogicalGet):
+            return self._aggregate_over_scan(node, child, lits)
+        mat = self._exec(child, lits)
+        return self._aggregate_host(node, mat, lits)
+
+    def _agg_specs(self, node: b.LogicalAggregate):
+        """Flatten BoundAggregates into primitive partial specs.
+
+        Returns (specs, finishers): specs = [(kind, arg_expr|None, acc_dtype)],
+        finishers map primitive partial values -> final aggregate values."""
+        specs: List[Tuple[str, Optional[b.BExpr], Any]] = []
+        finishers = []
+        for a in node.aggregates:
+            if a.func == "count_star":
+                si = len(specs)
+                specs.append(("count", None, np.int64))
+                finishers.append(lambda p, si=si: p[si])
+            elif a.func == "count":
+                si = len(specs)
+                specs.append(("count_arg", a.arg, np.int64))
+                finishers.append(lambda p, si=si: p[si])
+            elif a.func == "sum":
+                acc = np.float64 if a.ty.is_float else np.int64
+                si = len(specs)
+                specs.append(("sum", a.arg, acc))
+                ci = len(specs)
+                specs.append(("count_arg", a.arg, np.int64))
+                # grouped: groups with zero non-null args keep sum 0 (SQL
+                # NULL-sum for all-null groups is a TODO with valid masks)
+                finishers.append(
+                    lambda p, si=si, ci=ci: p[si]
+                    if isinstance(p[ci], np.ndarray) else (p[si] if p[ci] > 0 else None)
+                )
+            elif a.func == "avg":
+                si = len(specs)
+                specs.append(("sum", a.arg, np.float64))
+                ci = len(specs)
+                specs.append(("count_arg", a.arg, np.int64))
+                scale = 10.0 ** a.arg.ty.scale if a.arg.ty.name == "DECIMAL" else 1.0
+
+                def fin(p, si=si, ci=ci, scale=scale):
+                    cnt = p[ci]
+                    if isinstance(cnt, np.ndarray):
+                        safe = np.where(cnt > 0, cnt, 1)
+                        return np.where(cnt > 0, (p[si] / scale) / safe, np.nan)
+                    return (p[si] / scale) / cnt if cnt > 0 else None
+                finishers.append(fin)
+            elif a.func in ("min", "max"):
+                dt = compute_dtype_of(a.arg.ty)
+                acc = np.float64 if np.dtype(dt).kind == "f" else np.int64
+                si = len(specs)
+                specs.append((a.func, a.arg, acc))
+                ci = len(specs)
+                specs.append(("count_arg", a.arg, np.int64))
+
+                def fin(p, si=si, ci=ci):
+                    cnt = p[ci]
+                    if isinstance(cnt, np.ndarray):
+                        return p[si]
+                    return p[si] if cnt > 0 else None
+                finishers.append(fin)
+            elif a.func in ("stddev", "stddev_samp", "var_samp", "variance"):
+                si = len(specs)
+                specs.append(("sum", a.arg, np.float64))
+                qi = len(specs)
+                specs.append(("sumsq", a.arg, np.float64))
+                ci = len(specs)
+                specs.append(("count_arg", a.arg, np.int64))
+                is_std = a.func in ("stddev", "stddev_samp")
+
+                def fin(p, si=si, qi=qi, ci=ci, is_std=is_std):
+                    n = p[ci]
+                    if isinstance(n, np.ndarray):
+                        safe = np.where(n > 1, n, 2)
+                        var = (p[qi] - p[si] * p[si] / np.where(n > 0, n, 1)) / (safe - 1)
+                        var = np.where(n > 1, var, np.nan)
+                        return np.sqrt(var) if is_std else var
+                    if n <= 1:
+                        return None
+                    var = (p[qi] - p[si] * p[si] / n) / (n - 1)
+                    return float(np.sqrt(var)) if is_std else float(var)
+                finishers.append(fin)
+            elif a.func == "first":
+                si = len(specs)
+                specs.append(("min", a.arg, np.int64))  # deterministic pick
+                finishers.append(lambda p, si=si: p[si])
+            else:
+                raise ExecError(f"aggregate {a.func}")
+        return specs, finishers
+
+    def _group_domain(self, node: b.LogicalAggregate, get: Optional[b.LogicalGet]):
+        """Dense-domain info for group keys, or None for host fallback."""
+        mins, sizes = [], []
+        for g in node.groups:
+            if isinstance(g, b.BColumn) and g.dictionary is not None:
+                mins.append(0)
+                sizes.append(max(1, len(g.dictionary)))
+                continue
+            if g.ty.integer and get is not None and isinstance(g, b.BColumn):
+                col = get.table.columns[get.column_ids[g.index]]
+                if not col.segments:
+                    mins.append(0)
+                    sizes.append(1)
+                    continue
+                lo = min(s.vmin for s in col.segments)
+                hi = max(s.vmax for s in col.segments)
+                mins.append(int(lo))
+                sizes.append(int(hi - lo + 1))
+                continue
+            if g.ty is tt.BOOLEAN:
+                mins.append(0)
+                sizes.append(2)
+                continue
+            return None
+        domain = 1
+        for s in sizes:
+            domain *= s
+        if domain > (1 << 22):
+            return None
+        strides = []
+        acc = 1
+        for s in reversed(sizes):
+            strides.append(acc)
+            acc *= s
+        strides.reverse()
+        return mins, strides, sizes, domain
+
+    def _aggregate_over_scan(self, node, get: b.LogicalGet, lits) -> Mat:
+        specs, finishers = self._agg_specs(node)
+        grouped = bool(node.groups)
+        dense = self._group_domain(node, get) if grouped else None
+        if grouped and dense is None:
+            mat = self._materialize_scan(get, lits)
+            return self._aggregate_host(node, mat, lits)
+
+        # compile group + agg arg expressions once
+        comp = ExprCompiler()
+        group_fns = [comp._c(g) for g in node.groups]
+        arg_fns = {}
+        for kind, arg, acc in specs:
+            if arg is not None and id(arg) not in arg_fns:
+                arg_fns[id(arg)] = comp._c(arg)
+        spec_entries = [
+            (kind, None if arg is None else arg_fns[id(arg)], acc)
+            for kind, arg, acc in specs
+        ]
+        params = tuple(p(lits) for p in comp.preps)
+
+        partials = None
+        kernels = getattr(node, "_agg_kernels", None)
+        if kernels is None:
+            kernels = node._agg_kernels = {}
+        for i, count, _key_unused in self._scan_agg_batches(
+            node, get, lits, spec_entries, group_fns, dense, params, kernels
+        ):
+            batch = _key_unused
+            if partials is None:
+                partials = list(batch)
+            else:
+                partials = [
+                    agg_ops.merge_partials(_merge_kind(spec_entries[k][0]), partials[k], batch[k])
+                    for k in range(len(batch))
+                ]
+        if partials is None:
+            partials = _init_empty_partials(spec_entries, dense)
+
+        host = _pull_partials(partials)
+        if not grouped:
+            prim = [h.item() if h.ndim == 0 else h for h in host]
+            out_vals = [f(prim) for f in finishers]
+            cols, valids = _agg_finalize_row(node, out_vals)
+            dicts = getattr(node, "dicts", [None] * len(node.names))
+            return Mat(list(node.names), list(node.types), dicts, cols, valids)
+
+        mins, strides, sizes, domain = dense
+        count_idx = _any_count_index(spec_entries)
+        present = host[count_idx] > 0 if count_idx is not None else np.ones(domain, bool)
+        gidx = np.nonzero(present)[0]
+        group_cols = []
+        for gi, g in enumerate(node.groups):
+            vals = (gidx // strides[gi]) % sizes[gi]
+            group_cols.append(vals + mins[gi])
+        prim = [h[gidx] for h in host]
+        agg_cols = [f(prim) for f in finishers]
+        cols = []
+        valids: List[Optional[np.ndarray]] = []
+        for gi, g in enumerate(node.groups):
+            cols.append(group_cols[gi].astype(compute_dtype_of(g.ty)))
+            valids.append(None)
+        for a, v in zip(node.aggregates, agg_cols):
+            arr = np.asarray(v)
+            if a.func in ("min", "max", "first") and arr.dtype.kind in "iu":
+                arr = arr.astype(compute_dtype_of(a.ty))
+            cols.append(arr)
+            valids.append(None)
+        dicts = getattr(node, "dicts", [None] * len(node.names))
+        return Mat(list(node.names), list(node.types), dicts, cols, valids)
+
+    def _scan_agg_batches(self, node, get, lits, spec_entries, group_fns,
+                          dense, params, kernels):
+        """Run the fused scan+aggregate kernel per candidate segment."""
+        table = get.table
+        table.flush()
+        filt = self._compiled_filter(get)
+        fparams = filt.prep_args(lits) if filt is not None else ()
+        for i in self._zonemap_candidates(get, lits):
+            segs = [table.segment(c, i) for c in get.column_ids]
+            count = segs[0].count if segs else 0
+            metas, arrays = [], []
+            for s in segs:
+                meta, arrs = s.reader_arrays()
+                vmeta = s.validity_arrays()
+                if vmeta is not None:
+                    meta = (meta, "v")
+                    arrs = arrs + vmeta
+                else:
+                    meta = (meta, None)
+                metas.append(meta)
+                arrays.extend(arrs)
+            del_mask = table.delete_mask(i)
+            has_del = del_mask is not None
+            n_pad = bitpack.ROWS * bitpack.lanes_for(count)
+            key = (tuple(metas), n_pad, has_del)
+            kern = kernels.get(key)
+            if kern is None:
+                kern = _build_scan_agg_kernel(
+                    tuple(metas),
+                    [compute_dtype_of(t) for t in get.types],
+                    filt, n_pad, has_del, spec_entries, group_fns, dense,
+                )
+                kernels[key] = kern
+            extra = []
+            if has_del:
+                dm = np.zeros(n_pad, dtype=bool)
+                dm[: len(del_mask)] = del_mask
+                extra.append(jnp.asarray(dm))
+            out = kern(np.int32(count), fparams, params, tuple(extra), *arrays)
+            yield i, count, out
+
+    def _aggregate_host(self, node: b.LogicalAggregate, mat: Mat, lits) -> Mat:
+        """Host hash aggregate over a materialized batch (large domains,
+        non-scan children)."""
+        specs, finishers = self._agg_specs(node)
+        n = mat.nrows
+        # evaluate group exprs + agg args on device, pull to host
+        exprs = list(node.groups) + [a for _, a, _ in specs if a is not None]
+        outs = self._eval_on_mat(exprs, mat, lits) if exprs else []
+        gvals = []
+        for k in range(len(node.groups)):
+            v, m = outs[k]
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                arr = np.full(n, arr)
+            gvals.append((arr, None if m is None else np.asarray(m)))
+        arg_map = {}
+        k = len(node.groups)
+        for kind, a, acc in specs:
+            if a is not None and id(a) not in arg_map:
+                v, m = outs[k]
+                arr = np.asarray(v)
+                if arr.ndim == 0:
+                    arr = np.full(n, arr)
+                arg_map[id(a)] = (arr, None if m is None else np.asarray(m))
+                k += 1
+
+        if node.groups:
+            key_arrays = [g[0] for g in gvals]
+            uniq, gid = _unique_rows(key_arrays)
+            n_groups = len(uniq[0]) if uniq else 0
+        else:
+            gid = np.zeros(n, dtype=np.int64)
+            uniq = []
+            n_groups = 1
+
+        prim = []
+        for kind, a, acc in specs:
+            if kind == "count":
+                prim.append(np.bincount(gid, minlength=n_groups).astype(np.int64))
+                continue
+            vals, valid = arg_map[id(a)] if a is not None else (None, None)
+            if kind == "count_arg":
+                w = np.ones(n) if valid is None else valid.astype(np.float64)
+                prim.append(np.bincount(gid, weights=w, minlength=n_groups).astype(np.int64))
+            elif kind in ("sum", "sumsq"):
+                v = vals.astype(acc)
+                if kind == "sumsq":
+                    v = v * v
+                if valid is not None:
+                    v = np.where(valid, v, 0)
+                out = np.zeros(n_groups, dtype=acc)
+                np.add.at(out, gid, v)
+                prim.append(out)
+            elif kind in ("min", "max"):
+                v = vals.astype(acc)
+                sent = (agg_ops._max_sentinel(acc) if kind == "min"
+                        else agg_ops._min_sentinel(acc))
+                if valid is not None:
+                    v = np.where(valid, v, sent)
+                out = np.full(n_groups, sent, dtype=acc)
+                ufunc = np.minimum if kind == "min" else np.maximum
+                ufunc.at(out, gid, v)
+                prim.append(out)
+            else:
+                raise ExecError(kind)
+
+        if not node.groups:
+            scal = [p[0] if isinstance(p, np.ndarray) else p for p in prim]
+            out_vals = [f(scal) for f in finishers]
+            cols, valids = _agg_finalize_row(node, out_vals)
+            dicts = getattr(node, "dicts", [None] * len(node.names))
+            return Mat(list(node.names), list(node.types), dicts, cols, valids)
+
+        agg_cols = [f(prim) for f in finishers]
+        cols = list(uniq)
+        valids: List[Optional[np.ndarray]] = [None] * len(node.groups)
+        for a, v in zip(node.aggregates, agg_cols):
+            arr = np.asarray(v)
+            if a.func in ("min", "max", "first") and arr.dtype.kind in "iu":
+                arr = arr.astype(compute_dtype_of(a.ty))
+            cols.append(arr)
+            valids.append(None)
+        dicts = getattr(node, "dicts", [None] * len(node.names))
+        return Mat(list(node.names), list(node.types), dicts, cols, valids)
+
+    # ==================================================================
+    # joins (vectorized host hash join)
+    # ==================================================================
+
+    def _exec_join(self, node: b.LogicalJoin, lits) -> Mat:
+        left = self._exec(node.left, lits)
+        right = self._exec(node.right, lits)
+        jt = node.join_type
+
+        if jt == "cross" and not node.conditions:
+            li = np.repeat(np.arange(left.nrows), right.nrows)
+            ri = np.tile(np.arange(right.nrows), left.nrows)
+        else:
+            lkeys, rkeys = [], []
+            for le, re_ in node.conditions:
+                (lv, lm), = self._eval_on_mat([le], left, lits)
+                (rv, rm), = self._eval_on_mat([re_], right, lits)
+                lk = np.asarray(lv)
+                rk = np.asarray(rv)
+                # NULL keys never match
+                if lm is not None:
+                    lk = np.where(np.asarray(lm), lk, _null_key(lk.dtype))
+                if rm is not None:
+                    rk = np.where(np.asarray(rm), rk, _null_key(rk.dtype))
+                lkeys.append(lk)
+                rkeys.append(rk)
+            li, ri = _hash_join_pairs(lkeys, rkeys)
+
+        if jt in ("left", "full"):
+            matched = np.zeros(left.nrows, dtype=bool)
+            matched[li] = True
+            un = np.nonzero(~matched)[0]
+        if jt in ("right", "full"):
+            rmatched = np.zeros(right.nrows, dtype=bool)
+            rmatched[ri] = True
+            run = np.nonzero(~rmatched)[0]
+
+        lcols = [c[li] for c in left.cols]
+        lvalids = [None if v is None else v[li] for v in left.valids]
+        rcols = [c[ri] for c in right.cols]
+        rvalids = [None if v is None else v[ri] for v in right.valids]
+
+        if jt in ("left", "full") and len(un):
+            lcols = [np.concatenate([c, full_c[un]]) for c, full_c in zip(lcols, left.cols)]
+            lvalids = [
+                None if v is None and fv is None else
+                np.concatenate([
+                    v if v is not None else np.ones(len(li), bool),
+                    fv[un] if fv is not None else np.ones(len(un), bool),
+                ])
+                for v, fv in zip(lvalids, left.valids)
+            ]
+            rcols = [np.concatenate([c, np.zeros(len(un), c.dtype)]) for c in rcols]
+            rvalids = [
+                np.concatenate([
+                    v if v is not None else np.ones(len(ri), bool),
+                    np.zeros(len(un), bool),
+                ])
+                for v in rvalids
+            ]
+        if jt in ("right", "full") and len(run):
+            n_have = len(lcols[0]) if lcols else 0
+            lcols = [np.concatenate([c, np.zeros(len(run), c.dtype)]) for c in lcols]
+            lvalids = [
+                np.concatenate([
+                    v if v is not None else np.ones(n_have, bool),
+                    np.zeros(len(run), bool),
+                ])
+                for v in lvalids
+            ]
+            rcols = [np.concatenate([c, full_c[run]]) for c, full_c in zip(rcols, right.cols)]
+            rvalids = [
+                None if v is None and fv is None else
+                np.concatenate([
+                    v if v is not None else np.ones(n_have, bool),
+                    fv[run] if fv is not None else np.ones(len(run), bool),
+                ])
+                for v, fv in zip(rvalids, right.valids)
+            ]
+
+        mat = Mat(
+            list(node.names), list(node.types),
+            getattr(node, "dicts", [None] * len(node.names)),
+            lcols + rcols, lvalids + rvalids,
+        )
+        if node.residual is not None:
+            (v, m), = self._eval_on_mat([node.residual], mat, lits)
+            mask = np.asarray(v)
+            if m is not None:
+                mask = mask & np.asarray(m)
+            if mask.ndim == 0:
+                mask = np.full(mat.nrows, bool(mask))
+            mat = mat.take(np.nonzero(mask)[0])
+        return mat
+
+    # ==================================================================
+    # order / limit / distinct / set ops
+    # ==================================================================
+
+    def _sort_indices(self, node_keys, mat: Mat, lits, limit=None) -> np.ndarray:
+        keys = []
+        for e, desc, nulls_first in reversed(node_keys):
+            (v, m), = self._eval_on_mat([e], mat, lits)
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                arr = np.full(mat.nrows, arr)
+            d = self._expr_dict_of(e, mat)
+            if d is not None:
+                rank = d.rank_array()
+                arr = rank[np.minimum(arr, len(rank) - 1)] if len(rank) else arr
+            if desc:
+                if arr.dtype.kind in "iu" and m is None:
+                    arr = -arr.astype(np.int64)  # exact for integer keys
+                else:
+                    arr = -arr.astype(np.float64)
+            # nulls: default NULLS LAST for ASC, NULLS FIRST for DESC (DuckDB)
+            if m is not None:
+                valid = np.asarray(m)
+                nf = nulls_first if nulls_first is not None else desc
+                arr = arr.astype(np.float64)
+                arr = np.where(valid, arr, -np.inf if nf else np.inf)
+            keys.append(arr)
+        if not keys:
+            return np.arange(mat.nrows)
+        idx = np.lexsort(keys)
+        return idx
+
+    def _expr_dict_of(self, e: b.BExpr, mat: Mat):
+        if isinstance(e, b.BColumn) and e.index < len(mat.dicts):
+            return mat.dicts[e.index] if (e.ty.is_string) else None
+        return None
+
+    def _exec_order(self, node: b.LogicalOrder, lits) -> Mat:
+        mat = self._exec(node.child, lits)
+        if mat.nrows <= 1:
+            return mat
+        idx = self._sort_indices(node.keys, mat, lits)
+        return mat.take(idx)
+
+    def _exec_topn(self, node: b.LogicalTopN, lits) -> Mat:
+        mat = self._exec(node.child, lits)
+        idx = self._sort_indices(node.keys, mat, lits)
+        idx = idx[node.offset : node.offset + node.limit]
+        return mat.take(idx)
+
+    def _exec_limit(self, node: b.LogicalLimit, lits) -> Mat:
+        mat = self._exec(node.child, lits)
+        off = 0
+        if node.offset is not None:
+            off = int(_const_value(node.offset, lits))
+        lim = mat.nrows
+        if node.limit is not None:
+            lim = int(_const_value(node.limit, lits))
+        return mat.take(np.arange(off, min(off + lim, mat.nrows)))
+
+    def _exec_distinct(self, node: b.LogicalDistinct, lits) -> Mat:
+        mat = self._exec(node.child, lits)
+        if mat.nrows == 0:
+            return mat
+        uniq_idx = _unique_row_indices(mat.cols)
+        return mat.take(np.sort(uniq_idx))
+
+    def _exec_setop(self, node: b.LogicalSetOp, lits) -> Mat:
+        left = self._exec(node.left, lits)
+        right = self._exec(node.right, lits)
+        # harmonize dictionaries: right columns re-encoded into left dicts
+        rcols = []
+        for c, (lt, rt) in zip(range(len(left.cols)), zip(left.types, node.right.types)):
+            rc = right.cols[c]
+            ld = left.dicts[c] if c < len(left.dicts) else None
+            rd = getattr(node.right, "dicts", [None] * len(right.cols))[c]
+            if ld is not None and rd is not None and ld is not rd:
+                rc = ld.encode(rd.decode(rc))
+            rcols.append(rc)
+        if node.op == "union":
+            cols = [np.concatenate([l, r.astype(l.dtype)]) for l, r in zip(left.cols, rcols)]
+            valids = [
+                None if lv is None and rv is None else np.concatenate([
+                    lv if lv is not None else np.ones(left.nrows, bool),
+                    rv if rv is not None else np.ones(right.nrows, bool),
+                ])
+                for lv, rv in zip(left.valids, right.valids)
+            ]
+            mat = Mat(list(node.names), list(node.types),
+                      getattr(node, "dicts", [None] * len(node.names)), cols, valids)
+            if not node.all:
+                idx = _unique_row_indices(mat.cols)
+                mat = mat.take(np.sort(idx))
+            return mat
+        # except / intersect via row-key membership
+        lkey = _row_keys(left.cols)
+        rkey = _row_keys(rcols)
+        in_right = np.isin(lkey, rkey)
+        if node.op == "except":
+            keep = ~in_right
+        else:
+            keep = in_right
+        mat = left.take(np.nonzero(keep)[0])
+        if not node.all:
+            idx = _unique_row_indices(mat.cols)
+            mat = mat.take(np.sort(idx))
+        mat.names = list(node.names)
+        return mat
+
+
+# ======================================================================
+# kernel factories
+# ======================================================================
+
+
+def _decode_columns(metas, dtypes, arrays, extra, n_pad):
+    """Shared trace fragment: raw arrays -> [(values, valid|None)] padded."""
+    cols = []
+    k = 0
+    for (meta, vflag), dt in zip(metas, dtypes):
+        nargs = seg_arg_count(meta)
+        dec = make_seg_decoder(meta, dt)
+        v = dec(arrays[k : k + nargs])
+        k += nargs
+        if v.shape[0] != n_pad:
+            v = v[:n_pad] if v.shape[0] > n_pad else jnp.pad(v, (0, n_pad - v.shape[0]))
+        valid = None
+        if vflag == "v":
+            vwords = arrays[k]
+            k += 1
+            valid = bitpack.unpack(vwords, width=1).reshape(-1)[:n_pad].astype(jnp.bool_)
+        cols.append((v, valid))
+    return cols
+
+
+def _build_scan_kernel(metas, dtypes, filt, n_pad, has_del):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def kernel(count, params, extra, *arrays):
+        cols = _decode_columns(metas, dtypes, arrays, extra, n_pad)
+        mask = tail_mask(n_pad, count)
+        if has_del:
+            mask = mask & (~extra[0])
+        if filt is not None:
+            fv, fm = filt.fn(cols, params)
+            if hasattr(fv, "shape") and fv.shape == ():
+                fv = jnp.broadcast_to(fv, (n_pad,))
+            mask = mask & fv
+            if fm is not None:
+                mask = mask & fm
+        return mask, cols
+
+    return kernel
+
+
+@jax.jit
+def _compact_batch(mask, arrays, valid_arrays):
+    count, outs = compact_traced(mask, list(arrays) + list(valid_arrays))
+    # count travels as a padded vector: tiny/scalar transfers are
+    # pathologically slow on the device link
+    cnt_vec = jnp.zeros((16,), jnp.int32).at[0].set(count.astype(jnp.int32))
+    return cnt_vec, outs
+
+
+def _build_scan_agg_kernel(metas, dtypes, filt, n_pad, has_del,
+                           spec_entries, group_fns, dense):
+    @jax.jit
+    def kernel(count, fparams, params, extra, *arrays):
+        cols = _decode_columns(metas, dtypes, arrays, extra, n_pad)
+        mask = tail_mask(n_pad, count)
+        if has_del:
+            mask = mask & (~extra[0])
+        if filt is not None:
+            fv, fm = filt.fn(cols, fparams)
+            if hasattr(fv, "shape") and fv.shape == ():
+                fv = jnp.broadcast_to(fv, (n_pad,))
+            mask = mask & fv
+            if fm is not None:
+                mask = mask & fm
+
+        if dense is not None:
+            mins, strides, sizes, domain = dense
+            keys = [gf(cols, params)[0] for gf in group_fns]
+            gid = agg_ops.dense_group_ids(keys, mins, strides, domain)
+            # per-spec null-arg masks are pre-applied via neutral values so
+            # one shared scatter mask (the filter mask) suffices
+            outs = []
+            for kind, argf, acc in spec_entries:
+                if kind == "count":
+                    outs.append(agg_ops.grouped_partial(
+                        gid, mask, [("count", None, acc)], domain)[0])
+                    continue
+                v, vm = argf(cols, params)
+                if hasattr(v, "shape") and v.shape == ():
+                    v = jnp.broadcast_to(v, (n_pad,))
+                if kind == "count_arg":
+                    ones = jnp.ones(n_pad, jnp.int64)
+                    if vm is not None:
+                        ones = jnp.where(vm, ones, 0)
+                    outs.append(agg_ops.grouped_partial(
+                        gid, mask, [("sum", ones, np.int64)], domain)[0])
+                    continue
+                if vm is not None:
+                    if kind in ("sum", "sumsq"):
+                        v = jnp.where(vm, v, jnp.zeros((), v.dtype))
+                    elif kind == "min":
+                        v = jnp.where(vm, v, jnp.asarray(agg_ops._max_sentinel(acc), v.dtype))
+                    elif kind == "max":
+                        v = jnp.where(vm, v, jnp.asarray(agg_ops._min_sentinel(acc), v.dtype))
+                outs.append(agg_ops.grouped_partial(
+                    gid, mask, [(kind, v, acc)], domain)[0])
+            return tuple(outs)
+
+        # ungrouped
+        outs = []
+        for kind, argf, acc in spec_entries:
+            if kind == "count":
+                outs.append(agg_ops.masked_count(mask, n_pad))
+                continue
+            v, vm = argf(cols, params)
+            if hasattr(v, "shape") and v.shape == ():
+                v = jnp.broadcast_to(v, (n_pad,))
+            m = mask if vm is None else (mask & vm)
+            if kind == "count_arg":
+                outs.append(agg_ops.masked_count(m, n_pad))
+            elif kind == "sum":
+                outs.append(agg_ops.masked_sum(v, m, acc))
+            elif kind == "sumsq":
+                vv = v.astype(acc)
+                outs.append(agg_ops.masked_sum(vv * vv, m, acc))
+            elif kind == "min":
+                outs.append(agg_ops.masked_min(v, m, acc, agg_ops._max_sentinel(acc)))
+            elif kind == "max":
+                outs.append(agg_ops.masked_max(v, m, acc, agg_ops._min_sentinel(acc)))
+            else:
+                raise ExecError(kind)
+        return tuple(outs)
+
+    return kernel
+
+
+# ======================================================================
+# helpers
+# ======================================================================
+
+
+def _pull_partials(partials):
+    """Pull partial-aggregate device arrays with batched, padded transfers.
+
+    The device link penalizes tiny/scalar transfers heavily; stacking all
+    same-dtype partials into one padded 1-D pull keeps it to one transfer
+    per dtype."""
+    outs: List[Any] = [None] * len(partials)
+    idx_by: Dict[str, List[int]] = {}
+    for i, p in enumerate(partials):
+        if isinstance(p, (np.ndarray, np.generic, int, float)):
+            outs[i] = np.asarray(p)
+            continue
+        idx_by.setdefault(str(p.dtype), []).append(i)
+    for idxs in idx_by.values():
+        stacked = jnp.stack([partials[i] for i in idxs])
+        flat = stacked.reshape(-1)
+        if flat.shape[0] < 16:
+            flat = jnp.pad(flat, (0, 16 - flat.shape[0]))
+        host = np.asarray(flat)[: stacked.size].reshape(stacked.shape)
+        for j, i in enumerate(idxs):
+            outs[i] = host[j]
+    return outs
+
+
+def _merge_kind(kind: str) -> str:
+    if kind in ("count", "count_arg", "sum", "sumsq"):
+        return "sum" if kind != "count" else "count"
+    return kind
+
+
+def _init_empty_partials(spec_entries, dense):
+    outs = []
+    domain = dense[2] if dense is not None else None
+    for kind, _, acc in spec_entries:
+        if dense is not None:
+            if kind in ("count", "count_arg"):
+                outs.append(np.zeros(domain, np.int64))
+            elif kind in ("sum", "sumsq"):
+                outs.append(np.zeros(domain, acc))
+            elif kind == "min":
+                outs.append(np.full(domain, agg_ops._max_sentinel(acc), acc))
+            else:
+                outs.append(np.full(domain, agg_ops._min_sentinel(acc), acc))
+        else:
+            if kind in ("count", "count_arg"):
+                outs.append(np.int64(0))
+            elif kind in ("sum", "sumsq"):
+                outs.append(np.zeros((), acc))
+            elif kind == "min":
+                outs.append(np.asarray(agg_ops._max_sentinel(acc), acc))
+            else:
+                outs.append(np.asarray(agg_ops._min_sentinel(acc), acc))
+    return outs
+
+
+def _any_count_index(spec_entries):
+    for i, (kind, _, _) in enumerate(spec_entries):
+        if kind in ("count", "count_arg"):
+            return i
+    return None
+
+
+def _agg_finalize_row(node, out_vals):
+    cols = []
+    valids = []
+    for a, v in zip(node.aggregates, out_vals):
+        if v is None:
+            cols.append(np.zeros(1, compute_dtype_of(a.ty)))
+            valids.append(np.zeros(1, bool))
+        else:
+            cols.append(np.asarray([v]))
+            valids.append(None)
+    return cols, valids
+
+
+def _zonemap_probe(f: b.BExpr, lits):
+    """Recognize (col op literal) for zonemap skipping; returns
+    (col_index, op, value) or None."""
+    if not isinstance(f, b.BBinary) or f.op not in ("=", "<", "<=", ">", ">="):
+        return None
+    l, r = f.left, f.right
+    flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+    if isinstance(l, b.BLiteral) and isinstance(r, b.BColumn):
+        l, r = r, l
+        op = flip[f.op]
+    elif isinstance(l, b.BColumn) and isinstance(r, b.BLiteral):
+        op = f.op
+    else:
+        return None
+    lit = r
+    val = lits[lit.param] if lit.param is not None else lit.value
+    if isinstance(val, str):
+        if lit.ty is tt.DATE:
+            from adacom_tpu.sql.binder import days_from_iso
+
+            val = days_from_iso(val)
+        else:
+            return None
+    if val is None:
+        return None
+    if l.ty.name == "DECIMAL" and isinstance(val, (int, float)) and lit.ty.name != "DECIMAL":
+        val = val * (10 ** l.ty.scale)
+    return l.index, op, float(val)
+
+
+def _null_key(dtype):
+    dt = np.dtype(dtype)
+    if dt.kind == "f":
+        return np.nan
+    if dt.kind == "u":
+        return np.iinfo(dt).max - 7  # improbable sentinel
+    return np.iinfo(dt).min + 7
+
+
+def _row_keys(cols: List[np.ndarray]) -> np.ndarray:
+    """Combine row values into a single comparable key (hash; verified
+    callers tolerate the astronomically unlikely collision)."""
+    if not cols:
+        return np.zeros(0, np.uint64)
+    h = np.zeros(len(cols[0]), dtype=np.uint64)
+    for c in cols:
+        x = np.ascontiguousarray(c)
+        if x.dtype.kind == "f":
+            x = x.view(np.uint64 if x.dtype.itemsize == 8 else np.uint32)
+        x = x.astype(np.uint64)
+        h ^= (x + np.uint64(0x9E3779B97F4A7C15) + (h << np.uint64(6)) + (h >> np.uint64(2)))
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+    return h
+
+
+def _unique_rows(key_arrays: List[np.ndarray]):
+    """Group-by factorization: returns (unique col arrays, group ids)."""
+    h = _row_keys(key_arrays)
+    uniq_h, first_idx, gid = np.unique(h, return_index=True, return_inverse=True)
+    uniq_cols = [c[first_idx] for c in key_arrays]
+    return uniq_cols, gid
+
+
+def _unique_row_indices(cols: List[np.ndarray]) -> np.ndarray:
+    h = _row_keys(cols)
+    _, idx = np.unique(h, return_index=True)
+    return idx
+
+
+def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray]):
+    """All matching (left_idx, right_idx) pairs for equi-keys (vectorized
+    sort-probe join with hash-combined multi-column keys + verification)."""
+    lk = _row_keys([k for k in lkeys])
+    rk = _row_keys([k for k in rkeys])
+    order = np.argsort(rk, kind="stable")
+    rk_sorted = rk[order]
+    lo = np.searchsorted(rk_sorted, lk, side="left")
+    hi = np.searchsorted(rk_sorted, lk, side="right")
+    counts = hi - lo
+    li = np.repeat(np.arange(len(lk)), counts)
+    total = int(counts.sum())
+    if total == 0:
+        return li, np.zeros(0, dtype=np.int64)
+    # offsets within each run
+    starts = np.repeat(lo, counts)
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(total) - np.repeat(base, counts)
+    ri = order[starts + within]
+    # verify actual key equality (hash collision safety)
+    ok = np.ones(total, dtype=bool)
+    for lcol, rcol in zip(lkeys, rkeys):
+        lv = lcol[li]
+        rv = rcol[ri]
+        if lv.dtype.kind == "f" or rv.dtype.kind == "f":
+            ok &= lv.astype(np.float64) == rv.astype(np.float64)
+        else:
+            ok &= lv.astype(np.int64) == rv.astype(np.int64)
+    return li[ok], ri[ok]
+
+
+def _const_value(e: b.BExpr, lits):
+    if isinstance(e, b.BLiteral):
+        return lits[e.param] if e.param is not None else e.value
+    raise ExecError("expected constant")

@@ -1,0 +1,532 @@
+"""Connection: the query entry point (reference Connection::Query,
+src/main/connection.cpp:74 -> ClientContext::Query, client_context.cpp:792).
+
+Statement flow mirrors SURVEY.md §3.1: parse -> bind -> optimize ->
+execute, with a *plan cache* keyed on the literal-parameterized SQL
+template (+ structural literal values + catalog version) so repeated
+point lookups skip everything but execution — the TPU answer to the
+reference's 10k-sequential-lookup benchmarks."""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from adacom_tpu import types as tt
+from adacom_tpu.exec.executor import Executor, Mat
+from adacom_tpu.main.result import QueryResult
+from adacom_tpu.sql import ast
+from adacom_tpu.catalog.catalog import CatalogException
+from adacom_tpu.sql.binder import Binder, BindError
+from adacom_tpu.sql.optimizer import optimize
+from adacom_tpu.sql.parser import parse
+
+
+class SQLError(Exception):
+    pass
+
+
+class Connection:
+    def __init__(self, database):
+        self.db = database
+        self.executor = Executor(database)
+        self._in_txn = False
+        self._txn_snapshot = None
+        self.last_profile: Optional[dict] = None
+
+    # ------------------------------------------------------------------
+    def query(self, sql: str) -> Optional[QueryResult]:
+        """Execute one or more statements; returns the last result."""
+        try:
+            stmts, key, lits, structural = parse(sql)
+        except Exception as e:
+            raise SQLError(f"parse error: {e}") from e
+        result = None
+        for i, stmt in enumerate(stmts):
+            result = self._execute_stmt(stmt, key, lits, structural, i, sql)
+        return result
+
+    execute = query
+    sql = query
+
+    def appender(self, table_name: str):
+        from adacom_tpu.main.appender import Appender
+
+        return Appender(self, table_name)
+
+    # ------------------------------------------------------------------
+    def _execute_stmt(self, stmt, key, lits, structural, stmt_idx, sql):
+        t0 = time.perf_counter()
+        if isinstance(stmt, ast.SelectStmt):
+            res = self._execute_select(stmt, key, lits, structural, stmt_idx)
+        elif isinstance(stmt, ast.CreateTableStmt):
+            res = self._execute_create_table(stmt, lits)
+        elif isinstance(stmt, ast.CreateViewStmt):
+            self.db.catalog.create_view(stmt.name, stmt.select_sql, stmt.or_replace)
+            self._bump_catalog_version()
+            res = None
+        elif isinstance(stmt, ast.InsertStmt):
+            res = self._execute_insert(stmt, lits)
+        elif isinstance(stmt, ast.DeleteStmt):
+            res = self._execute_delete(stmt, lits)
+        elif isinstance(stmt, ast.UpdateStmt):
+            res = self._execute_update(stmt, lits)
+        elif isinstance(stmt, ast.DropStmt):
+            if stmt.kind == "view":
+                self.db.catalog.views.pop(stmt.name.lower(), None)
+            else:
+                self.db.catalog.drop_table(stmt.name, stmt.if_exists)
+            self._bump_catalog_version()
+            res = None
+        elif isinstance(stmt, ast.TransactionStmt):
+            res = self._execute_txn(stmt)
+        elif isinstance(stmt, ast.PragmaStmt):
+            res = self._execute_pragma(stmt)
+        elif isinstance(stmt, ast.SetStmt):
+            self.db.config.set_option(stmt.name, stmt.value)
+            res = None
+        elif isinstance(stmt, ast.ExplainStmt):
+            res = self._execute_explain(stmt)
+        elif isinstance(stmt, ast.CheckpointStmt):
+            self.db.checkpoint()
+            res = None
+        elif isinstance(stmt, ast.DescribeStmt):
+            res = self._execute_describe(stmt)
+        else:
+            raise SQLError(f"unsupported statement {type(stmt).__name__}")
+        if self.db.config.enable_profiling:
+            self.last_profile = {
+                "statement": type(stmt).__name__,
+                "total_s": time.perf_counter() - t0,
+            }
+        return res
+
+    # ------------------------------------------------------------------
+    def _bump_catalog_version(self):
+        v = getattr(self.db.catalog, "version", 0)
+        self.db.catalog.version = v + 1
+
+    def _plan_select(self, stmt: ast.SelectStmt, key, lits, structural, stmt_idx):
+        cache_key = (
+            key, stmt_idx,
+            tuple(sorted((s, repr(lits[s])) for s in structural)),
+            getattr(self.db.catalog, "version", 0),
+        )
+        with self.db.plan_cache_lock:
+            hit = self.db.plan_cache.get(cache_key)
+        if hit is not None:
+            return hit
+        binder = Binder(self.db.catalog, self.db.config)
+        plan = binder.bind_select(stmt)
+        all_structural = set(structural) | binder.structural
+        plan = optimize(plan, all_structural)
+        full_key = (
+            key, stmt_idx,
+            tuple(sorted((s, repr(lits[s])) for s in all_structural)),
+            getattr(self.db.catalog, "version", 0),
+        )
+        with self.db.plan_cache_lock:
+            self.db.plan_cache[full_key] = plan
+            if full_key != cache_key and len(all_structural) == len(structural):
+                self.db.plan_cache[cache_key] = plan
+            # also store under the original key when binder added slots:
+            # impossible to reuse safely, so only the full key persists
+            if len(self.db.plan_cache) > 4096:
+                self.db.plan_cache.clear()
+        return plan
+
+    def _execute_select(self, stmt, key, lits, structural, stmt_idx) -> QueryResult:
+        try:
+            plan = self._plan_select(stmt, key, lits, structural, stmt_idx)
+        except (BindError, CatalogException) as e:
+            raise SQLError(str(e)) from e
+        mat = self.executor.execute(plan, lits)
+        return QueryResult(mat.names, mat.types, mat.cols, mat.valids, mat.dicts)
+
+    # ------------------------------------------------------------------
+    def _execute_create_table(self, stmt: ast.CreateTableStmt, lits=()):
+        if stmt.as_select is not None:
+            binder = Binder(self.db.catalog, self.db.config)
+            plan = optimize(binder.bind_select(stmt.as_select), set())
+            mat = self.executor.execute(plan, lits)
+            cols = [(n, t) for n, t in zip(mat.names, mat.types)]
+            table = self.db.catalog.create_table(stmt.name, [], stmt.if_not_exists)
+            # rebuild with proper column defs
+            self.db.catalog.drop_table(stmt.name)
+            table = self.db.catalog.create_table(
+                stmt.name, cols, stmt.if_not_exists
+            )
+            self._append_mat(table, mat)
+            self._bump_catalog_version()
+            return None
+        cols = []
+        for cname, ctype, targs in stmt.columns:
+            cols.append((cname, tt.type_from_name(ctype, targs)))
+        self.db.catalog.create_table(stmt.name, cols, stmt.if_not_exists)
+        self._bump_catalog_version()
+        return None
+
+    def _append_mat(self, table, mat: Mat):
+        data = {}
+        validity = {}
+        for name, t, c, v, d in zip(mat.names, mat.types, mat.cols, mat.valids, mat.dicts):
+            tcol = table.columns[name.lower()] if name.lower() in table.columns else None
+            if tcol is None:
+                # align by position
+                pass
+            if v is not None:
+                validity[name] = v
+            data[name] = c
+        # align by position against table column order
+        by_pos = {}
+        vd = {}
+        for i, cname in enumerate(table.column_order):
+            src = mat.cols[i]
+            t = mat.types[i]
+            col = table.columns[cname]
+            if col.dictionary is not None and mat.dicts[i] is not None and \
+               col.dictionary is not mat.dicts[i]:
+                src = col.dictionary.encode(mat.dicts[i].decode(src))
+            by_pos[cname] = src
+            if mat.valids[i] is not None:
+                vd[cname] = mat.valids[i]
+        table.append_batch(by_pos, vd if vd else None)
+        table.flush()
+
+    def _execute_insert(self, stmt: ast.InsertStmt, lits=()):
+        table = self.db.catalog.get_table(stmt.table)
+        self._txn_touch(table)
+        if stmt.select is not None:
+            binder = Binder(self.db.catalog, self.db.config)
+            plan = optimize(binder.bind_select(stmt.select), set())
+            mat = self.executor.execute(plan, lits)
+            if stmt.columns is not None and [c.lower() for c in stmt.columns] != table.column_order:
+                raise SQLError("INSERT column list must match table order")
+            self._append_mat(table, mat)
+            return None
+        cols = stmt.columns or table.column_order
+        cols = [c.lower() for c in cols]
+        n = len(stmt.rows)
+        data: Dict[str, list] = {c: [] for c in cols}
+        valid: Dict[str, list] = {c: [] for c in cols}
+        binder = Binder(self.db.catalog, self.db.config)
+        from adacom_tpu.sql.binder import Scope
+
+        scope = Scope()
+        for row in stmt.rows:
+            if len(row) != len(cols):
+                raise SQLError("INSERT arity mismatch")
+            for c, e in zip(cols, row):
+                val = _const_eval(binder, e, scope)
+                data[c].append(val)
+                valid[c].append(val is not None)
+        batch = {}
+        vbatch = {}
+        any_null = False
+        for c in cols:
+            col = table.columns.get(c)
+            if col is None:
+                raise SQLError(f"unknown column {c}")
+            vals = data[c]
+            vmask = np.asarray(valid[c], dtype=bool)
+            if col.dictionary is not None:
+                arr = col.dictionary.encode(["" if v is None else str(v) for v in vals])
+            else:
+                dt = col.ltype.np_dtype
+                if col.ltype.name == "DECIMAL":
+                    scaled = [0 if v is None else int(round(float(v) * 10 ** col.ltype.scale)) for v in vals]
+                    arr = np.asarray(scaled, dtype=dt)
+                elif col.ltype is tt.DATE:
+                    from adacom_tpu.sql.binder import days_from_iso
+
+                    arr = np.asarray(
+                        [0 if v is None else (days_from_iso(v) if isinstance(v, str) else int(v)) for v in vals],
+                        dtype=dt,
+                    )
+                else:
+                    arr = np.asarray([0 if v is None else v for v in vals]).astype(dt)
+            batch[c] = arr
+            if not vmask.all():
+                any_null = True
+                vbatch[c] = vmask
+        missing = [c for c in table.column_order if c not in batch]
+        for c in missing:
+            col = table.columns[c]
+            batch[c] = np.zeros(n, dtype=col.ltype.np_dtype)
+            vbatch[c] = np.zeros(n, dtype=bool)
+            any_null = True
+        table.append_batch(batch, vbatch if any_null else None)
+        return None
+
+    def _filter_row_matches(self, table_name: str, where, lits=()):
+        """Evaluate a WHERE clause per segment; yields (seg_idx, row_idx_np)."""
+        table = self.db.catalog.get_table(table_name)
+        table.flush()
+        sel_sql_plan = self._bind_filter_plan(table_name, where)
+        for i, count, (mask, cols) in self.executor._scan_batches(sel_sql_plan, lits):
+            m = np.asarray(mask)[:count]
+            rows = np.nonzero(m)[0]
+            if len(rows):
+                yield table, i, rows
+
+    def _bind_filter_plan(self, table_name, where):
+        from adacom_tpu.sql import bound as b
+
+        binder = Binder(self.db.catalog, self.db.config)
+        sel = ast.SelectStmt(
+            select_list=[(ast.Star(), None)],
+            from_ref=ast.BaseTable(table_name, None),
+            where=where,
+        )
+        plan = binder.bind_select(sel)
+        plan = optimize(plan, set())
+        # find the Get node
+        for node in b.walk(plan):
+            if isinstance(node, b.LogicalGet):
+                return node
+        raise SQLError("internal: no scan in DML plan")
+
+    def _execute_delete(self, stmt: ast.DeleteStmt, lits=()):
+        table = self.db.catalog.get_table(stmt.table)
+        self._txn_touch(table)
+        if stmt.where is None:
+            # truncate
+            self.db.catalog.drop_table(stmt.table)
+            self.db.catalog.create_table(
+                stmt.table, [(c, table.columns[c].ltype) for c in table.column_order]
+            )
+            self._bump_catalog_version()
+            return None
+        for table_, i, rows in self._filter_row_matches(stmt.table, stmt.where, lits):
+            table_.mark_deleted(i, rows)
+        return None
+
+    def _execute_update(self, stmt: ast.UpdateStmt, lits=()):
+        # UPDATE = select matching rows, delete them, re-append modified
+        table = self.db.catalog.get_table(stmt.table)
+        self._txn_touch(table)
+        cols_sql = ", ".join(table.column_order)
+        where_part = ""
+        sel = ast.SelectStmt(
+            select_list=[(ast.Star(), None)],
+            from_ref=ast.BaseTable(stmt.table, None),
+            where=stmt.where,
+        )
+        binder = Binder(self.db.catalog, self.db.config)
+        plan = optimize(binder.bind_select(sel), set())
+        mat = self.executor.execute(plan, lits)
+        if mat.nrows == 0:
+            return None
+        # delete matched rows
+        for table_, i, rows in self._filter_row_matches(stmt.table, stmt.where, lits):
+            table_.mark_deleted(i, rows)
+        # apply assignments on the materialized rows
+        from adacom_tpu.sql.binder import Scope
+
+        scope = Scope.from_op(plan, None)
+        name_to_pos = {n.lower(): i for i, n in enumerate(mat.names)}
+        for cname, e in stmt.assignments:
+            be = binder.bind_expr(e, scope)
+            outs = self.executor._eval_on_mat([be], mat, lits)
+            v, m = outs[0]
+            arr = np.asarray(v)
+            pos = name_to_pos[cname.lower()]
+            col = table.columns[cname.lower()]
+            if arr.ndim == 0:
+                arr = np.full(mat.nrows, arr)
+            if col.ltype.name == "DECIMAL" and be.ty.name != "DECIMAL":
+                arr = np.round(arr.astype(np.float64) * 10 ** col.ltype.scale).astype(np.int64)
+            mat.cols[pos] = arr.astype(col.ltype.np_dtype)
+            mat.valids[pos] = None if m is None else np.asarray(m)
+        self._append_mat(table, mat)
+        return None
+
+    # ------------------------------------------------------------------
+    def _txn_touch(self, table):
+        if self._in_txn and self._txn_snapshot is not None:
+            name = table.name
+            if name not in self._txn_snapshot:
+                self._txn_snapshot[name] = (
+                    table.row_count(),
+                    {k: v.copy() for k, v in table._deletes.items()},
+                )
+
+    def _execute_txn(self, stmt: ast.TransactionStmt):
+        if stmt.action == "begin":
+            self._in_txn = True
+            self._txn_snapshot = {}
+        elif stmt.action == "commit":
+            self._in_txn = False
+            self._txn_snapshot = None
+        elif stmt.action == "rollback":
+            if self._txn_snapshot:
+                for name, (nrows, deletes) in self._txn_snapshot.items():
+                    try:
+                        table = self.db.catalog.get_table(name)
+                    except Exception:
+                        continue
+                    self._truncate_to(table, nrows)
+                    table._deletes = deletes
+            self._in_txn = False
+            self._txn_snapshot = None
+        return None
+
+    def _truncate_to(self, table, nrows: int):
+        for cname in table.column_order:
+            col = table.columns[cname]
+            col._staging = []
+            col._staged_rows = 0
+            total = 0
+            keep = []
+            for s in col.segments:
+                if total + s.count <= nrows:
+                    keep.append(s)
+                    total += s.count
+                elif total < nrows:
+                    # partial segment: re-stage the prefix
+                    prefix = s._host_values[: nrows - total]
+                    pv = s._validity_np[: nrows - total] if s._validity_np is not None else None
+                    col.segments = keep
+                    col.stage(prefix, pv)
+                    total = nrows
+                    s.page_out()
+                    break
+                else:
+                    s.page_out()
+            col.segments = [s for s in col.segments if s in keep] if total >= nrows else col.segments
+
+    # ------------------------------------------------------------------
+    def _execute_pragma(self, stmt: ast.PragmaStmt):
+        name = stmt.name.lower()
+        cat = self.db.catalog.get_column_segment_catalog()
+        if name in ("compact_all_segments", "compact_all"):
+            cat.compact_all_segments()
+            return None
+        if name == "uncompact_all":
+            for t in self.db.catalog.tables.values():
+                t.uncompact_all()
+            return None
+        if name == "enable_background_compaction":
+            cat.enable_background_compaction()
+            return None
+        if name == "disable_background_compaction":
+            cat.disable_background_compaction()
+            return None
+        if name == "segment_stats":
+            print(cat.print_stats())
+            return None
+        if name == "database_size":
+            return self._scalar_result("database_size", tt.BIGINT,
+                                       cat.get_total_data_size())
+        if name in ("enable_profiling", "enable_profile"):
+            self.db.config.enable_profiling = True
+            return None
+        if name == "disable_profiling":
+            self.db.config.enable_profiling = False
+            return None
+        if stmt.value is not None:
+            self.db.config.set_option(name, stmt.value)
+            return None
+        if stmt.is_call and stmt.args:
+            self.db.config.set_option(name, stmt.args[0])
+            return None
+        raise SQLError(f"unknown pragma {name}")
+
+    def _scalar_result(self, name, ty, value):
+        return QueryResult([name], [ty], [np.asarray([value])], [None], [None])
+
+    def _execute_explain(self, stmt: ast.ExplainStmt):
+        if not isinstance(stmt.target, ast.SelectStmt):
+            raise SQLError("EXPLAIN supports SELECT only")
+        binder = Binder(self.db.catalog, self.db.config)
+        plan = optimize(binder.bind_select(stmt.target), set())
+        text = _render_plan(plan)
+        return QueryResult(
+            ["explain"], [tt.VARCHAR],
+            [np.arange(1, dtype=np.uint32)], [None],
+            [_TextDict([text])],
+        )
+
+    def _execute_describe(self, stmt: ast.DescribeStmt):
+        table = self.db.catalog.get_table(stmt.table)
+        names = table.column_order
+        types = [str(table.columns[c].ltype) for c in names]
+        nd = _TextDict(names)
+        td = _TextDict(types)
+        return QueryResult(
+            ["column_name", "column_type"], [tt.VARCHAR, tt.VARCHAR],
+            [np.arange(len(names), dtype=np.uint32),
+             np.arange(len(types), dtype=np.uint32)],
+            [None, None], [nd, td],
+        )
+
+
+class _TextDict:
+    """Minimal read-only dictionary for synthesized VARCHAR results."""
+
+    def __init__(self, strings):
+        self._strings = list(strings)
+
+    def decode(self, codes):
+        return [self._strings[int(c)] for c in codes]
+
+    def __len__(self):
+        return len(self._strings)
+
+
+def _const_eval(binder, e, scope):
+    """Evaluate a constant expression from INSERT ... VALUES."""
+    be = binder.bind_expr(e, scope)
+    from adacom_tpu.sql import bound as b
+
+    def ev(x):
+        if isinstance(x, b.BLiteral):
+            return x.value
+        if isinstance(x, b.BUnary) and x.op == "-":
+            return -ev(x.operand)
+        if isinstance(x, b.BCast):
+            v = ev(x.operand)
+            if v is None:
+                return None
+            if x.ty.name == "DECIMAL":
+                return float(v)
+            if x.ty is tt.DATE and isinstance(v, str):
+                from adacom_tpu.sql.binder import days_from_iso
+
+                return days_from_iso(v)
+            if x.ty.integer:
+                return int(v)
+            if x.ty.is_float:
+                return float(v)
+            return v
+        if isinstance(x, b.BBinary):
+            l, r = ev(x.left), ev(x.right)
+            if l is None or r is None:
+                return None
+            return {"+": lambda: l + r, "-": lambda: l - r, "*": lambda: l * r,
+                    "/": lambda: l / r, "%": lambda: l % r}[x.op]()
+        raise SQLError("INSERT VALUES must be constant expressions")
+
+    return ev(be)
+
+
+def _render_plan(plan, indent=0) -> str:
+    import dataclasses as dc
+
+    from adacom_tpu.sql import bound as b
+
+    pad = "  " * indent
+    name = type(plan).__name__.replace("Logical", "")
+    extra = ""
+    if isinstance(plan, b.LogicalGet):
+        extra = f" {plan.table_name}{plan.column_ids}"
+        if plan.filters:
+            extra += f" filters={len(plan.filters)}"
+    lines = [f"{pad}{name}{extra}  -> {list(plan.names)}"]
+    for f in dc.fields(plan):
+        v = getattr(plan, f.name)
+        if isinstance(v, b.LogicalOp):
+            lines.append(_render_plan(v, indent + 1))
+    return "\n".join(lines)

@@ -1,0 +1,788 @@
+"""Binder: name resolution, type inference, logical plan construction.
+
+Parity with the reference Binder/Planner (src/planner/binder.cpp,
+planner.cpp:28): resolves identifiers against the Catalog, types every
+expression, expands stars, extracts aggregates, and emits a LogicalOp tree.
+Dates fold at bind time (DATE 'x' +/- INTERVAL 'n' unit), string literals
+bind against the target column's dictionary at execution time."""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Dict, List, Optional, Tuple
+
+from adacom_tpu import types as tt
+from adacom_tpu.sql import ast
+from adacom_tpu.sql import bound as b
+
+
+class BindError(Exception):
+    pass
+
+
+def days_from_iso(s: str) -> int:
+    d = datetime.date.fromisoformat(s.strip())
+    return (d - datetime.date(1970, 1, 1)).days
+
+
+def iso_from_days(days: int) -> str:
+    return (datetime.date(1970, 1, 1) + datetime.timedelta(days=int(days))).isoformat()
+
+
+def add_months(days: int, months: int) -> int:
+    d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(days))
+    y = d.year + (d.month - 1 + months) // 12
+    m = (d.month - 1 + months) % 12 + 1
+    # clamp day like Postgres/DuckDB
+    last = [31, 29 if y % 4 == 0 and (y % 100 != 0 or y % 400 == 0) else 28,
+            31, 30, 31, 30, 31, 31, 30, 31, 30, 31][m - 1]
+    return (datetime.date(y, m, min(d.day, last)) - datetime.date(1970, 1, 1)).days
+
+
+class Interval:
+    __slots__ = ("months", "days")
+
+    def __init__(self, months=0, days=0):
+        self.months = months
+        self.days = days
+
+
+_INTERVAL_UNITS = {
+    "year": ("months", 12), "month": ("months", 1),
+    "day": ("days", 1), "week": ("days", 7),
+}
+
+
+class Scope:
+    """Flattened name scope over one operator's output schema."""
+
+    def __init__(self):
+        self.entries: List[Tuple[Optional[str], str, tt.LogicalType, Any]] = []
+        # entries: (table_alias, column_name, type, dictionary)
+
+    @classmethod
+    def from_op(cls, op: b.LogicalOp, alias: Optional[str]) -> "Scope":
+        s = cls()
+        dicts = getattr(op, "dicts", [None] * len(op.names))
+        for name, ty, d in zip(op.names, op.types, dicts):
+            s.entries.append((alias, name, ty, d))
+        return s
+
+    def merge(self, other: "Scope") -> "Scope":
+        s = Scope()
+        s.entries = self.entries + other.entries
+        return s
+
+    def resolve(self, name: str, table: Optional[str]) -> Tuple[int, tt.LogicalType, Any]:
+        name_l = name.lower()
+        hits = []
+        for i, (al, cn, ty, d) in enumerate(self.entries):
+            if cn.lower() == name_l and (table is None or (al or "").lower() == table.lower()):
+                hits.append((i, ty, d))
+        if not hits:
+            raise BindError(f"column {table + '.' if table else ''}{name} not found")
+        if len(hits) > 1:
+            raise BindError(f"ambiguous column reference {name}")
+        return hits[0]
+
+    def columns_of(self, table: Optional[str]):
+        for i, (al, cn, ty, d) in enumerate(self.entries):
+            if table is None or (al or "").lower() == table.lower():
+                yield i, cn, ty, d
+
+
+AGG_FUNCS = {"count", "sum", "avg", "min", "max", "first", "any_value",
+             "stddev", "stddev_samp", "var_samp", "variance"}
+
+
+class Binder:
+    def __init__(self, catalog, config, cte_plans: Optional[Dict[str, b.LogicalOp]] = None):
+        self.catalog = catalog
+        self.config = config
+        self.cte_plans = dict(cte_plans or {})
+        # literal slots whose values were baked into the plan (must join the
+        # plan-cache key; see sql/parser.parse docstring)
+        self.structural: set = set()
+
+    # ================= statements =================
+    def bind_select(self, stmt: ast.SelectStmt) -> b.LogicalOp:
+        if stmt.ctes:
+            for name, sub in stmt.ctes:
+                self.cte_plans[name.lower()] = self.bind_select(sub)
+        plan = self._bind_select_core(stmt)
+        if stmt.set_ops:
+            for op, all_, rhs in stmt.set_ops:
+                rplan = self._bind_select_core(rhs)
+                if len(rplan.types) != len(plan.types):
+                    raise BindError("set operation arity mismatch")
+                node = b.LogicalSetOp(
+                    names=list(plan.names), types=list(plan.types),
+                    op=op, all=all_, left=plan, right=rplan,
+                )
+                node.dicts = getattr(plan, "dicts", [None] * len(plan.names))
+                plan = node
+        # ORDER BY / LIMIT of the overall statement
+        plan = self._bind_order_limit(plan, stmt, over_setop=bool(stmt.set_ops))
+        return plan
+
+    def _bind_order_limit(self, plan, stmt, over_setop=False):
+        if stmt.order_by and (over_setop or not getattr(stmt, "_order_bound", False)):
+            scope = Scope.from_op(plan, None)
+            keys = []
+            for item in stmt.order_by:
+                e = self._bind_order_key(item.expr, plan, scope)
+                keys.append((e, item.desc, item.nulls_first))
+            node = b.LogicalOrder(names=list(plan.names), types=list(plan.types),
+                                  child=plan, keys=keys)
+            node.dicts = getattr(plan, "dicts", [None] * len(plan.names))
+            plan = node
+        if (stmt.limit is not None or stmt.offset is not None) and (
+            over_setop or not getattr(stmt, "_limit_bound", False)
+        ):
+            node = b.LogicalLimit(
+                names=list(plan.names), types=list(plan.types), child=plan,
+                limit=self._bind_scalar_const(stmt.limit),
+                offset=self._bind_scalar_const(stmt.offset),
+            )
+            node.dicts = getattr(plan, "dicts", [None] * len(plan.names))
+            plan = node
+        return plan
+
+    def _bind_scalar_const(self, e):
+        if e is None:
+            return None
+        scope = Scope()
+        return self.bind_expr(e, scope)
+
+    def _bind_order_key(self, e: ast.Expr, plan: b.LogicalOp, scope: Scope) -> b.BExpr:
+        # positional (ORDER BY 1) and output-name references
+        if isinstance(e, ast.Literal) and isinstance(e.value, int) and e.type_hint is None:
+            if e.param is not None:
+                self.structural.add(e.param)
+            idx = e.value - 1
+            if not (0 <= idx < len(plan.names)):
+                raise BindError(f"ORDER BY position {e.value} out of range")
+            d = getattr(plan, "dicts", [None] * len(plan.names))[idx]
+            return b.BColumn(plan.types[idx], idx, plan.names[idx], d)
+        if isinstance(e, ast.ColumnRef) and e.table is None:
+            for idx, nm in enumerate(plan.names):
+                if nm.lower() == e.name.lower():
+                    d = getattr(plan, "dicts", [None] * len(plan.names))[idx]
+                    return b.BColumn(plan.types[idx], idx, nm, d)
+        return self.bind_expr(e, scope)
+
+    def _bind_select_core(self, stmt: ast.SelectStmt) -> b.LogicalOp:
+        # FROM
+        if stmt.from_ref is None:
+            child = b.LogicalValues(names=[], types=[], rows=[[]])
+            child.dicts = []
+            scope = Scope()
+        else:
+            child, scope = self.bind_table_ref(stmt.from_ref)
+
+        # WHERE
+        if stmt.where is not None:
+            cond = self.bind_expr(stmt.where, scope)
+            node = b.LogicalFilter(names=list(child.names), types=list(child.types),
+                                   child=child, condition=cond)
+            node.dicts = getattr(child, "dicts", [None] * len(child.names))
+            child = node
+
+        # expand stars in select list
+        sel_items: List[Tuple[ast.Expr, Optional[str]]] = []
+        for e, alias in stmt.select_list:
+            if isinstance(e, ast.Star):
+                for i, cn, ty, d in scope.columns_of(e.table):
+                    sel_items.append((ast.ColumnRef(cn, e.table), cn))
+            else:
+                sel_items.append((e, alias))
+
+        # aggregate detection
+        has_agg = stmt.group_by is not None or any(
+            self._contains_agg(e) for e, _ in sel_items
+        ) or (stmt.having is not None)
+
+        if has_agg:
+            plan = self._bind_aggregate(stmt, sel_items, child, scope)
+        else:
+            exprs = []
+            names = []
+            for e, alias in sel_items:
+                be = self.bind_expr(e, scope)
+                exprs.append(be)
+                names.append(alias or self._expr_name(e))
+            plan = b.LogicalProject(
+                names=names, types=[e.ty for e in exprs], child=child, exprs=exprs
+            )
+            plan.dicts = [self._expr_dict(e) for e in exprs]
+
+        if stmt.distinct:
+            node = b.LogicalDistinct(names=list(plan.names), types=list(plan.types), child=plan)
+            node.dicts = getattr(plan, "dicts", [None] * len(plan.names))
+            plan = node
+
+        # ORDER BY / LIMIT (when not a set-op; those are handled one level up)
+        if not stmt.set_ops:
+            plan = self._bind_order_limit_inner(plan, stmt, scope)
+        return plan
+
+    def _bind_order_limit_inner(self, plan, stmt, input_scope):
+        if stmt.order_by:
+            scope = Scope.from_op(plan, None)
+            keys = []
+            n_visible = len(plan.names)
+            hidden = 0
+            for item in stmt.order_by:
+                try:
+                    e = self._bind_order_key(item.expr, plan, scope)
+                except BindError:
+                    # bind over the pre-projection input and carry the key as
+                    # a hidden projection column (dropped after the sort)
+                    if not isinstance(plan, b.LogicalProject):
+                        raise
+                    be = self.bind_expr(item.expr, input_scope)
+                    plan.exprs.append(be)
+                    plan.names.append(f"__order_{hidden}")
+                    plan.types.append(be.ty)
+                    plan.dicts = getattr(plan, "dicts", [None] * n_visible) + [self._expr_dict(be)]
+                    e = b.BColumn(be.ty, len(plan.names) - 1, plan.names[-1],
+                                  self._expr_dict(be))
+                    hidden += 1
+                keys.append((e, item.desc, item.nulls_first))
+            node = b.LogicalOrder(names=list(plan.names), types=list(plan.types),
+                                  child=plan, keys=keys)
+            node.dicts = getattr(plan, "dicts", [None] * len(plan.names))
+            plan = node
+            if hidden:
+                exprs = [
+                    b.BColumn(plan.types[i], i, plan.names[i],
+                              getattr(plan, "dicts")[i])
+                    for i in range(n_visible)
+                ]
+                drop = b.LogicalProject(
+                    names=list(plan.names[:n_visible]),
+                    types=list(plan.types[:n_visible]),
+                    child=plan, exprs=exprs,
+                )
+                drop.dicts = getattr(plan, "dicts")[:n_visible]
+                plan = drop
+        if stmt.limit is not None or stmt.offset is not None:
+            node = b.LogicalLimit(
+                names=list(plan.names), types=list(plan.types), child=plan,
+                limit=self._bind_scalar_const(stmt.limit),
+                offset=self._bind_scalar_const(stmt.offset),
+            )
+            node.dicts = getattr(plan, "dicts", [None] * len(plan.names))
+            plan = node
+        stmt._order_bound = True
+        stmt._limit_bound = True
+        return plan
+
+    # ---------------- aggregate binding ----------------
+    def _contains_agg(self, e: ast.Expr) -> bool:
+        if isinstance(e, ast.FuncCall) and e.name in AGG_FUNCS:
+            return True
+        for f in e.__dataclass_fields__:
+            v = getattr(e, f)
+            if isinstance(v, ast.Expr) and self._contains_agg(v):
+                return True
+            if isinstance(v, list):
+                for x in v:
+                    if isinstance(x, ast.Expr) and self._contains_agg(x):
+                        return True
+                    if isinstance(x, tuple):
+                        for y in x:
+                            if isinstance(y, ast.Expr) and self._contains_agg(y):
+                                return True
+        return False
+
+    def _bind_aggregate(self, stmt, sel_items, child, scope) -> b.LogicalOp:
+        group_bexprs: List[b.BExpr] = []
+        group_names: List[str] = []
+        if stmt.group_by:
+            for ge in stmt.group_by:
+                # positional group ref / select alias
+                resolved = None
+                if isinstance(ge, ast.Literal) and isinstance(ge.value, int) and ge.type_hint is None:
+                    if ge.param is not None:
+                        self.structural.add(ge.param)
+                    idx = ge.value - 1
+                    if not (0 <= idx < len(sel_items)):
+                        raise BindError("GROUP BY position out of range")
+                    resolved = sel_items[idx][0]
+                elif isinstance(ge, ast.ColumnRef) and ge.table is None:
+                    for e, alias in sel_items:
+                        if alias and alias.lower() == ge.name.lower() and not isinstance(e, ast.ColumnRef):
+                            resolved = e
+                            break
+                resolved = resolved if resolved is not None else ge
+                be = self.bind_expr(resolved, scope)
+                group_bexprs.append(be)
+                group_names.append(self._expr_name(resolved))
+
+        aggs: List[b.BoundAggregate] = []
+
+        def bind_post_agg(e: ast.Expr) -> b.BExpr:
+            # group expr match (structural, on the AST via bound comparison)
+            be_try = None
+            try:
+                be_try = self.bind_expr(e, scope)
+            except BindError:
+                be_try = None
+            if be_try is not None:
+                for gi, g in enumerate(group_bexprs):
+                    slots: list = []
+                    if _bexpr_eq(be_try, g, slots):
+                        # literals matched by value across different slots:
+                        # their values shaped the plan -> structural
+                        for pa, pb in slots:
+                            if pa is not None:
+                                self.structural.add(pa)
+                            if pb is not None:
+                                self.structural.add(pb)
+                        return b.BColumn(g.ty, gi, group_names[gi], self._expr_dict(g))
+            if isinstance(e, ast.FuncCall) and e.name in AGG_FUNCS:
+                agg = self._bind_agg_func(e, scope)
+                # dedup identical aggregates
+                for ai, a in enumerate(aggs):
+                    if a.func == agg.func and a.distinct == agg.distinct and \
+                       ((a.arg is None and agg.arg is None) or
+                            (a.arg is not None and agg.arg is not None and _bexpr_eq(a.arg, agg.arg))):
+                        return b.BAggRef(a.ty, len(group_bexprs) + ai)
+                aggs.append(agg)
+                return b.BAggRef(agg.ty, len(group_bexprs) + len(aggs) - 1)
+            # recurse: rebuild node with post-agg children
+            if isinstance(e, ast.BinaryOp):
+                l = bind_post_agg(e.left)
+                r = bind_post_agg(e.right)
+                return self._type_binary(e.op, l, r)
+            if isinstance(e, ast.UnaryOp):
+                o = bind_post_agg(e.operand)
+                return b.BUnary(o.ty if e.op == "-" else tt.BOOLEAN, e.op, o)
+            if isinstance(e, ast.Cast):
+                o = bind_post_agg(e.operand)
+                return b.BCast(tt.type_from_name(e.type_name, e.type_args), o)
+            if isinstance(e, ast.Case):
+                whens = []
+                for c, v in self._case_pairs(e):
+                    whens.append((bind_post_agg(c), bind_post_agg(v)))
+                el = bind_post_agg(e.else_) if e.else_ is not None else None
+                ty = whens[0][1].ty if whens else (el.ty if el else tt.INTEGER)
+                return b.BCase(ty, whens, el)
+            if isinstance(e, ast.Literal):
+                return self._bind_literal(e)
+            if be_try is not None:
+                # plain column not in GROUP BY
+                raise BindError(
+                    f"column {self._expr_name(e)} must appear in GROUP BY or an aggregate"
+                )
+            raise BindError(f"cannot bind expression in aggregate context: {e}")
+
+        out_exprs: List[b.BExpr] = []
+        out_names: List[str] = []
+        for e, alias in sel_items:
+            out_exprs.append(bind_post_agg(e))
+            out_names.append(alias or self._expr_name(e))
+
+        having_b = None
+        if stmt.having is not None:
+            having_b = bind_post_agg(stmt.having)
+
+        agg_names = group_names + [a.func for a in aggs]
+        agg_types = [g.ty for g in group_bexprs] + [a.ty for a in aggs]
+        agg_node = b.LogicalAggregate(
+            names=agg_names, types=agg_types, child=child,
+            groups=group_bexprs, aggregates=aggs,
+        )
+        agg_node.dicts = [self._expr_dict(g) for g in group_bexprs] + [None] * len(aggs)
+        plan: b.LogicalOp = agg_node
+
+        if having_b is not None:
+            node = b.LogicalFilter(names=list(plan.names), types=list(plan.types),
+                                   child=plan, condition=having_b)
+            node.dicts = getattr(plan, "dicts")
+            plan = node
+
+        proj = b.LogicalProject(
+            names=out_names, types=[e.ty for e in out_exprs], child=plan, exprs=out_exprs
+        )
+        proj.dicts = [self._expr_dict(e) for e in out_exprs]
+        return proj
+
+    def _case_pairs(self, e: ast.Case):
+        if e.operand is None:
+            return list(e.whens)
+        return [(ast.BinaryOp("=", e.operand, c), v) for c, v in e.whens]
+
+    def _bind_agg_func(self, e: ast.FuncCall, scope: Scope) -> b.BoundAggregate:
+        name = e.name
+        if name == "count":
+            if e.star or not e.args:
+                return b.BoundAggregate("count_star", None, tt.BIGINT)
+            arg = self.bind_expr(e.args[0], scope)
+            return b.BoundAggregate("count", arg, tt.BIGINT, e.distinct)
+        if not e.args:
+            raise BindError(f"aggregate {name} requires an argument")
+        arg = self.bind_expr(e.args[0], scope)
+        if name == "sum":
+            if arg.ty.is_float:
+                ty = tt.DOUBLE
+            elif arg.ty.name == "DECIMAL":
+                ty = tt.DECIMAL(38, arg.ty.scale)
+            else:
+                ty = tt.BIGINT
+            return b.BoundAggregate("sum", arg, ty, e.distinct)
+        if name == "avg":
+            return b.BoundAggregate("avg", arg, tt.DOUBLE, e.distinct)
+        if name in ("min", "max", "first", "any_value"):
+            return b.BoundAggregate(name if name in ("min", "max") else "first", arg, arg.ty)
+        if name in ("stddev", "stddev_samp", "var_samp", "variance"):
+            return b.BoundAggregate(name, arg, tt.DOUBLE)
+        raise BindError(f"unknown aggregate {name}")
+
+    # ================= table refs =================
+    def bind_table_ref(self, ref: ast.TableRef) -> Tuple[b.LogicalOp, Scope]:
+        if isinstance(ref, ast.BaseTable):
+            key = ref.name.lower()
+            alias = ref.alias or ref.name
+            if key in self.cte_plans:
+                plan = self.cte_plans[key]
+                return plan, Scope.from_op(plan, alias)
+            view_sql = self.catalog.get_view(key)
+            if view_sql is not None:
+                from adacom_tpu.sql.parser import parse
+
+                stmts, _, _, _ = parse(view_sql)
+                # the view body has its own literal numbering; bake its
+                # literal values (outer-query lits must not leak in)
+                _strip_literal_params(stmts[0])
+                plan = self.bind_select(stmts[0])
+                return plan, Scope.from_op(plan, alias)
+            table = self.catalog.get_table(key)
+            names = list(table.column_order)
+            types = [table.columns[c].ltype for c in names]
+            plan = b.LogicalGet(
+                names=names, types=types, table=table, table_name=key,
+                column_ids=list(names),
+            )
+            plan.dicts = [table.columns[c].dictionary for c in names]
+            return plan, Scope.from_op(plan, alias)
+        if isinstance(ref, ast.SubqueryRef):
+            plan = self.bind_select(ref.subquery)
+            return plan, Scope.from_op(plan, ref.alias)
+        if isinstance(ref, ast.JoinRef):
+            return self._bind_join(ref)
+        raise BindError(f"unsupported table ref {ref}")
+
+    def _bind_join(self, ref: ast.JoinRef) -> Tuple[b.LogicalOp, Scope]:
+        lplan, lscope = self.bind_table_ref(ref.left)
+        rplan, rscope = self.bind_table_ref(ref.right)
+        combined = lscope.merge(rscope)
+        n_left = len(lscope.entries)
+
+        conditions: List[Tuple[b.BExpr, b.BExpr]] = []
+        residual: Optional[b.BExpr] = None
+
+        def side_of(e: b.BExpr) -> Optional[str]:
+            idxs = [x.index for x in b.expr_walk(e) if isinstance(x, b.BColumn)]
+            if not idxs:
+                return None
+            if all(i < n_left for i in idxs):
+                return "left"
+            if all(i >= n_left for i in idxs):
+                return "right"
+            return "both"
+
+        def shift_right(e: b.BExpr) -> b.BExpr:
+            for x in b.expr_walk(e):
+                if isinstance(x, b.BColumn):
+                    x.index -= n_left
+            return e
+
+        cond_expr = None
+        if ref.using:
+            conds = []
+            for cname in ref.using:
+                conds.append(ast.BinaryOp(
+                    "=", ast.ColumnRef(cname, None), ast.ColumnRef(cname, None)
+                ))
+            # resolve each side explicitly
+            for cname in ref.using:
+                li, lty, ld = lscope.resolve(cname, None)
+                ri, rty, rd = rscope.resolve(cname, None)
+                conditions.append((
+                    b.BColumn(lty, li, cname, ld),
+                    b.BColumn(rty, ri, cname, rd),
+                ))
+        elif ref.condition is not None:
+            cond_expr = self.bind_expr(ref.condition, combined)
+            # split conjuncts into equi pairs + residual
+            for conj in _split_conjuncts(cond_expr):
+                if isinstance(conj, b.BBinary) and conj.op == "=":
+                    sl, sr = side_of(conj.left), side_of(conj.right)
+                    if sl == "left" and sr == "right":
+                        conditions.append((conj.left, shift_right(conj.right)))
+                        continue
+                    if sl == "right" and sr == "left":
+                        conditions.append((conj.right, shift_right(conj.left)))
+                        continue
+                residual = conj if residual is None else b.BBinary(tt.BOOLEAN, "and", residual, conj)
+        elif ref.join_type != "cross":
+            raise BindError("JOIN requires ON or USING")
+
+        names = [e[1] for e in combined.entries]
+        types = [e[2] for e in combined.entries]
+        node = b.LogicalJoin(
+            names=names, types=types, left=lplan, right=rplan,
+            join_type=ref.join_type, conditions=conditions, residual=residual,
+        )
+        node.dicts = [e[3] for e in combined.entries]
+        return node, combined
+
+    # ================= expressions =================
+    def bind_expr(self, e: ast.Expr, scope: Scope) -> b.BExpr:
+        if isinstance(e, ast.Literal):
+            return self._bind_literal(e)
+        if isinstance(e, ast.ColumnRef):
+            i, ty, d = scope.resolve(e.name, e.table)
+            return b.BColumn(ty, i, e.name, d)
+        if isinstance(e, ast.BinaryOp):
+            l = self.bind_expr(e.left, scope)
+            r = self.bind_expr(e.right, scope)
+            return self._type_binary(e.op, l, r)
+        if isinstance(e, ast.UnaryOp):
+            o = self.bind_expr(e.operand, scope)
+            if e.op == "-":
+                if isinstance(o, b.BLiteral) and o.param is None and isinstance(o.value, (int, float)):
+                    return b.BLiteral(o.ty, -o.value)
+                return b.BUnary(o.ty, "-", o)
+            return b.BUnary(tt.BOOLEAN, "not", o)
+        if isinstance(e, ast.IsNull):
+            return b.BIsNull(tt.BOOLEAN, self.bind_expr(e.operand, scope), e.negated)
+        if isinstance(e, ast.Between):
+            o = self.bind_expr(e.operand, scope)
+            lo = self.bind_expr(e.low, scope)
+            hi = self.bind_expr(e.high, scope)
+            ge = self._type_binary(">=", o, lo)
+            le = self._type_binary("<=", o, hi)
+            both = b.BBinary(tt.BOOLEAN, "and", ge, le)
+            return b.BUnary(tt.BOOLEAN, "not", both) if e.negated else both
+        if isinstance(e, ast.InList):
+            o = self.bind_expr(e.operand, scope)
+            items = [self.bind_expr(x, scope) for x in e.items]
+            return b.BInList(tt.BOOLEAN, o, items, e.negated)
+        if isinstance(e, ast.Like):
+            o = self.bind_expr(e.operand, scope)
+            pat = self.bind_expr(e.pattern, scope)
+            if not isinstance(pat, b.BLiteral):
+                raise BindError("LIKE pattern must be a literal")
+            dict_ = self._expr_dict(o)
+            if dict_ is None:
+                raise BindError("LIKE requires a VARCHAR column")
+            return b.BDictPredicate(tt.BOOLEAN, o, "like", pat, e.negated,
+                                    e.case_insensitive, dict_)
+        if isinstance(e, ast.Case):
+            whens = [(self.bind_expr(c, scope), self.bind_expr(v, scope))
+                     for c, v in self._case_pairs(e)]
+            el = self.bind_expr(e.else_, scope) if e.else_ is not None else None
+            ty = None
+            for _, v in whens:
+                if not (isinstance(v, b.BLiteral) and v.value is None):
+                    ty = v.ty if ty is None else tt.common_type(ty, v.ty)
+            if el is not None and not (isinstance(el, b.BLiteral) and el.value is None):
+                ty = el.ty if ty is None else tt.common_type(ty, el.ty)
+            return b.BCase(ty or tt.INTEGER, whens, el)
+        if isinstance(e, ast.Cast):
+            o = self.bind_expr(e.operand, scope)
+            ty = tt.type_from_name(e.type_name, e.type_args)
+            if isinstance(o, b.BLiteral) and o.param is None and ty is tt.DATE and isinstance(o.value, str):
+                return b.BLiteral(tt.DATE, days_from_iso(o.value))
+            return b.BCast(ty, o)
+        if isinstance(e, ast.FuncCall):
+            if e.name in AGG_FUNCS:
+                raise BindError(f"aggregate {e.name} not allowed here")
+            args = [self.bind_expr(a, scope) for a in e.args]
+            return self._bind_scalar_func(e.name, args)
+        if isinstance(e, (ast.Exists, ast.InSubquery, ast.ScalarSubquery)):
+            raise BindError("subqueries are handled by the planner (uncorrelated only)")
+        raise BindError(f"cannot bind {e}")
+
+    def _bind_literal(self, e: ast.Literal) -> b.BLiteral:
+        v = e.value
+        if e.type_hint == "DATE":
+            if e.param is not None:
+                return b.BLiteral(tt.DATE, days_from_iso(str(v)), e.param)
+            return b.BLiteral(tt.DATE, days_from_iso(str(v)))
+        if e.type_hint == "TIMESTAMP":
+            if e.param is not None:
+                self.structural.add(e.param)
+            dt = datetime.datetime.fromisoformat(str(v))
+            micros = int(dt.timestamp() * 1e6)
+            return b.BLiteral(tt.TIMESTAMP, micros)
+        if e.type_hint and e.type_hint.startswith("INTERVAL:"):
+            if e.param is not None:
+                self.structural.add(e.param)
+            unit = e.type_hint.split(":")[1]
+            if unit not in _INTERVAL_UNITS:
+                raise BindError(f"unsupported interval unit {unit}")
+            field, mult = _INTERVAL_UNITS[unit]
+            iv = Interval()
+            setattr(iv, field, int(str(v).strip()) * mult)
+            lit = b.BLiteral(tt.BIGINT, iv)
+            lit.is_interval = True
+            return lit
+        if v is None:
+            return b.BLiteral(tt.INTEGER, None)
+        if isinstance(v, bool):
+            return b.BLiteral(tt.BOOLEAN, v)
+        if isinstance(v, int):
+            return b.BLiteral(tt.BIGINT, v, e.param)
+        if isinstance(v, float):
+            return b.BLiteral(tt.DOUBLE, v, e.param)
+        return b.BLiteral(tt.VARCHAR, v, e.param)
+
+    def _bind_scalar_func(self, name: str, args: List[b.BExpr]) -> b.BExpr:
+        name = name.lower()
+        if name in ("abs",):
+            return b.BFunc(args[0].ty, name, args)
+        if name in ("floor", "ceil", "ceiling", "round"):
+            return b.BFunc(tt.DOUBLE if args[0].ty.is_float else args[0].ty, name, args)
+        if name in ("extract_year", "year"):
+            return b.BFunc(tt.BIGINT, "extract_year", args)
+        if name in ("extract_month", "month"):
+            return b.BFunc(tt.BIGINT, "extract_month", args)
+        if name in ("extract_day", "day"):
+            return b.BFunc(tt.BIGINT, "extract_day", args)
+        if name == "coalesce":
+            ty = args[0].ty
+            for a in args[1:]:
+                if not (isinstance(a, b.BLiteral) and a.value is None):
+                    ty = tt.common_type(ty, a.ty)
+            return b.BFunc(ty, "coalesce", args)
+        if name in ("length", "len"):
+            return b.BFunc(tt.BIGINT, "length", args)
+        if name in ("lower", "upper", "substring", "substr", "trim", "ltrim",
+                    "rtrim", "concat"):
+            return b.BFunc(tt.VARCHAR, name if name != "substr" else "substring", args)
+        if name == "date_part":
+            # date_part('year', d)
+            part = args[0]
+            if isinstance(part, b.BLiteral):
+                return b.BFunc(tt.BIGINT, "extract_" + str(part.value).lower(), [args[1]])
+        raise BindError(f"unknown function {name}")
+
+    def _type_binary(self, op: str, l: b.BExpr, r: b.BExpr) -> b.BExpr:
+        if op in ("and", "or"):
+            return b.BBinary(tt.BOOLEAN, op, l, r)
+        if op in ("=", "<>", "<", "<=", ">", ">="):
+            return b.BBinary(tt.BOOLEAN, op, l, r)
+        if op == "||":
+            return b.BBinary(tt.VARCHAR, op, l, r)
+        # interval folding: DATE +/- INTERVAL
+        lint = getattr(l, "is_interval", False)
+        rint = getattr(r, "is_interval", False)
+        if rint and l.ty is tt.DATE and op in ("+", "-"):
+            iv = r.value
+            sign = 1 if op == "+" else -1
+            if isinstance(l, b.BLiteral) and l.param is None:
+                days = l.value
+                if iv.months:
+                    days = add_months(days, sign * iv.months)
+                days += sign * iv.days
+                return b.BLiteral(tt.DATE, days)
+            return b.BFunc(tt.DATE, "date_add",
+                           [l, b.BLiteral(tt.BIGINT, sign * iv.months),
+                            b.BLiteral(tt.BIGINT, sign * iv.days)])
+        if lint or rint:
+            raise BindError("unsupported interval arithmetic")
+        # literal date folding for comparisons happens naturally (both DATE)
+        if op == "/":
+            if l.ty.name == "DECIMAL" or r.ty.name == "DECIMAL" or l.ty.is_float or r.ty.is_float:
+                ty = tt.DOUBLE
+            else:
+                ty = tt.common_type(l.ty, r.ty)
+            return b.BBinary(ty, op, l, r)
+        ty = tt.common_type(l.ty, r.ty)
+        if op in ("+", "-", "*") and l.ty.name == "DECIMAL" and r.ty.name == "DECIMAL" and op == "*":
+            ty = tt.DECIMAL(38, l.ty.scale + r.ty.scale)
+        return b.BBinary(ty, op, l, r)
+
+    # ---------------- helpers ----------------
+    def _expr_name(self, e) -> str:
+        if isinstance(e, ast.ColumnRef):
+            return e.name
+        if isinstance(e, ast.FuncCall):
+            return e.name
+        if isinstance(e, (b.BColumn,)):
+            return e.name
+        if isinstance(e, b.BExpr):
+            return "expr"
+        if isinstance(e, ast.Literal):
+            return str(e.value)
+        if isinstance(e, ast.BinaryOp):
+            return self._expr_name(e.left)
+        if isinstance(e, ast.Cast):
+            return self._expr_name(e.operand)
+        return "expr"
+
+    def _expr_dict(self, e: b.BExpr):
+        if isinstance(e, b.BColumn):
+            return e.dictionary
+        if isinstance(e, b.BCase):
+            for _, v in e.whens:
+                d = self._expr_dict(v)
+                if d is not None:
+                    return d
+        if isinstance(e, b.BFunc) and e.name == "coalesce":
+            for a in e.args:
+                d = self._expr_dict(a)
+                if d is not None:
+                    return d
+        return None
+
+
+def _strip_literal_params(node) -> None:
+    """Clear literal param slots in a parsed AST (values stay baked)."""
+    if isinstance(node, ast.Literal):
+        node.param = None
+        return
+    if isinstance(node, (list, tuple)):
+        for x in node:
+            _strip_literal_params(x)
+        return
+    if hasattr(node, "__dataclass_fields__"):
+        for f in node.__dataclass_fields__:
+            _strip_literal_params(getattr(node, f))
+
+
+def _split_conjuncts(e: b.BExpr) -> List[b.BExpr]:
+    if isinstance(e, b.BBinary) and e.op == "and":
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
+def _bexpr_eq(a: b.BExpr, x: b.BExpr, slots: list | None = None) -> bool:
+    """Structural bound-expression equality. Literals compare by VALUE; when
+    `slots` is given, matched literal param pairs are appended so the caller
+    can mark them structural for the plan cache."""
+    if type(a) is not type(x):
+        return False
+    if isinstance(a, b.BColumn):
+        return a.index == x.index
+    if isinstance(a, b.BLiteral):
+        if a.value != x.value:
+            return False
+        if a.param != x.param and slots is not None:
+            slots.append((a.param, x.param))
+        return a.param == x.param or slots is not None
+    if isinstance(a, b.BBinary):
+        return a.op == x.op and _bexpr_eq(a.left, x.left, slots) and _bexpr_eq(a.right, x.right, slots)
+    if isinstance(a, b.BUnary):
+        return a.op == x.op and _bexpr_eq(a.operand, x.operand, slots)
+    if isinstance(a, b.BCast):
+        return a.ty == x.ty and _bexpr_eq(a.operand, x.operand, slots)
+    if isinstance(a, b.BFunc):
+        return a.name == x.name and len(a.args) == len(x.args) and all(
+            _bexpr_eq(p, q, slots) for p, q in zip(a.args, x.args)
+        )
+    return False

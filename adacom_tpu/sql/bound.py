@@ -1,0 +1,213 @@
+"""Bound (typed, resolved) expression IR + logical plan nodes.
+
+Parity with the reference's BoundExpression / LogicalOperator hierarchies
+(src/planner/expression/*, src/planner/operator/*). Expressions reference
+input columns by position; every node carries a LogicalType."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+from adacom_tpu import types as tt
+
+D = dataclasses.dataclass
+
+
+@D
+class BExpr:
+    ty: tt.LogicalType
+
+
+@D
+class BColumn(BExpr):
+    index: int  # position in the child operator's output schema
+    name: str = ""
+    dictionary: Any = None  # StringDictionary for VARCHAR columns
+
+
+@D
+class BLiteral(BExpr):
+    value: Any
+    param: Optional[int] = None  # literal slot (plan-cache substitution)
+
+
+@D
+class BBinary(BExpr):
+    op: str
+    left: BExpr
+    right: BExpr
+
+
+@D
+class BUnary(BExpr):
+    op: str  # '-', 'not'
+    operand: BExpr
+
+
+@D
+class BIsNull(BExpr):
+    operand: BExpr
+    negated: bool = False
+
+
+@D
+class BCase(BExpr):
+    whens: List[Tuple[BExpr, BExpr]]
+    else_: Optional[BExpr]
+
+
+@D
+class BCast(BExpr):
+    operand: BExpr
+
+
+@D
+class BFunc(BExpr):
+    name: str
+    args: List[BExpr]
+
+
+@D
+class BInList(BExpr):
+    operand: BExpr
+    items: List[BExpr]
+    negated: bool = False
+
+
+@D
+class BDictPredicate(BExpr):
+    """String predicate evaluated over the dictionary host-side; at runtime
+    becomes a boolean LUT gathered by dictionary code (LIKE, dict ranges)."""
+    operand: BExpr  # uint32 dict codes
+    kind: str  # 'like'
+    pattern: Any  # BLiteral
+    negated: bool = False
+    case_insensitive: bool = False
+    dictionary: Any = None  # StringDictionary
+
+
+@D
+class BAggRef(BExpr):
+    """Reference to aggregate #i of the enclosing LogicalAggregate."""
+    index: int
+
+
+@D
+class BoundAggregate:
+    func: str  # count/sum/avg/min/max/count_star/...
+    arg: Optional[BExpr]
+    ty: tt.LogicalType
+    distinct: bool = False
+
+
+# ---------------- logical operators ----------------
+@D
+class LogicalOp:
+    # output schema
+    names: List[str]
+    types: List[tt.LogicalType]
+
+
+@D
+class LogicalGet(LogicalOp):
+    table: Any  # storage Table
+    table_name: str
+    column_ids: List[str]  # projected storage columns, in output order
+    # conjunctive filters over the projected schema (pushed down)
+    filters: List[BExpr] = dataclasses.field(default_factory=list)
+
+
+@D
+class LogicalValues(LogicalOp):
+    rows: List[List[BExpr]] = dataclasses.field(default_factory=list)
+
+
+@D
+class LogicalFilter(LogicalOp):
+    child: LogicalOp = None
+    condition: BExpr = None
+
+
+@D
+class LogicalProject(LogicalOp):
+    child: LogicalOp = None
+    exprs: List[BExpr] = dataclasses.field(default_factory=list)
+
+
+@D
+class LogicalAggregate(LogicalOp):
+    child: LogicalOp = None
+    groups: List[BExpr] = dataclasses.field(default_factory=list)
+    aggregates: List[BoundAggregate] = dataclasses.field(default_factory=list)
+    # output schema = groups ++ aggregates
+
+
+@D
+class LogicalJoin(LogicalOp):
+    left: LogicalOp = None
+    right: LogicalOp = None
+    join_type: str = "inner"
+    # equi-join key pairs as (left expr over left schema, right expr over right schema)
+    conditions: List[Tuple[BExpr, BExpr]] = dataclasses.field(default_factory=list)
+    # residual predicate over the combined schema (left cols then right cols)
+    residual: Optional[BExpr] = None
+
+
+@D
+class LogicalOrder(LogicalOp):
+    child: LogicalOp = None
+    # (expr over child schema, desc, nulls_first)
+    keys: List[Tuple[BExpr, bool, Optional[bool]]] = dataclasses.field(default_factory=list)
+
+
+@D
+class LogicalLimit(LogicalOp):
+    child: LogicalOp = None
+    limit: Optional[BExpr] = None
+    offset: Optional[BExpr] = None
+
+
+@D
+class LogicalTopN(LogicalOp):
+    child: LogicalOp = None
+    keys: List[Tuple[BExpr, bool, Optional[bool]]] = dataclasses.field(default_factory=list)
+    limit: int = 0
+    offset: int = 0
+
+
+@D
+class LogicalDistinct(LogicalOp):
+    child: LogicalOp = None
+
+
+@D
+class LogicalSetOp(LogicalOp):
+    op: str = "union"  # union/except/intersect
+    all: bool = False
+    left: LogicalOp = None
+    right: LogicalOp = None
+
+
+def walk(op: LogicalOp):
+    yield op
+    for f in dataclasses.fields(op):
+        v = getattr(op, f.name)
+        if isinstance(v, LogicalOp):
+            yield from walk(v)
+
+
+def expr_walk(e: BExpr):
+    yield e
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, BExpr):
+            yield from expr_walk(v)
+        elif isinstance(v, list):
+            for x in v:
+                if isinstance(x, BExpr):
+                    yield from expr_walk(x)
+                elif isinstance(x, tuple):
+                    for y in x:
+                        if isinstance(y, BExpr):
+                            yield from expr_walk(y)

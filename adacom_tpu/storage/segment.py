@@ -257,6 +257,31 @@ class ColumnSegment:
         """Reference ColumnSegmentCatalog::AddReadAccess (called per scan)."""
         self.num_reads += 1
 
+    def reader_arrays(self):
+        """Snapshot for fused execution: (meta, device arrays).
+
+        meta is a hashable trace key (same representation -> same compiled
+        kernel); pair with exec.executor.make_seg_decoder(meta) to rebuild
+        the traceable decode — the kernel cache is keyed on meta, not on
+        per-segment closures."""
+        self._ensure_resident()
+        self.add_read_access()
+        with self._lock:
+            if self._state == PACKED:
+                p = self._packed
+                mf = jnp.asarray(p.min_factor, dtype=p.dtype)
+                arrays = tuple(w for w in p.words if w is not None) + (mf,)
+                return ("packed", p.meta), arrays
+            arr = self._plain
+            return ("plain", str(arr.dtype), int(arr.shape[0])), (arr,)
+
+    def validity_arrays(self):
+        """Packed validity words for fused kernels; None when all valid."""
+        if self._validity_np is None:
+            return None
+        self._ensure_resident()
+        return (self._validity_dev,)
+
     def reader(self):
         """Snapshot for fused execution: (meta, arrays, traceable decode).
 
@@ -302,6 +327,16 @@ class ColumnSegment:
                     return a
 
                 return meta, (arr,), decode
+
+    def host_plain(self) -> np.ndarray:
+        """Host copy in compute dtype — the latency tier for selective point
+        lookups (device roundtrips cost more than a SIMD scan of one
+        segment). Counts as a read access for the adaptive policy."""
+        self.add_read_access()
+        return self._host_values.astype(self.compute_dtype, copy=False)
+
+    def host_validity(self) -> Optional[np.ndarray]:
+        return self._validity_np
 
     def validity_reader(self):
         """Like reader() but for the validity bitmap; None if all valid."""

@@ -22,9 +22,23 @@ import numpy as np
 
 # x64 must be on before any jnp array is created so int64/float64 columns
 # keep their width (TPU emulates 64-bit integer ops; hot paths stay 32-bit).
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: engine kernel shapes repeat across processes
+# (benchmarks, tests), so cache compiled executables on disk
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    except Exception:
+        pass
 
 
 @dataclasses.dataclass(frozen=True)
