@@ -194,8 +194,9 @@ class Executor:
         nseg = len(col.segments)
         if cache is not None and cache[0] == nseg:
             return cache[1], cache[2]
-        mins = np.array([s.vmin for s in col.segments], dtype=np.float64)
-        maxs = np.array([s.vmax for s in col.segments], dtype=np.float64)
+        # longdouble: 64-bit mantissa keeps u64 zonemap bounds exact
+        mins = np.array([s.vmin for s in col.segments], dtype=np.longdouble)
+        maxs = np.array([s.vmax for s in col.segments], dtype=np.longdouble)
         col._zonemap_cache = (nseg, mins, maxs)
         return mins, maxs
 
@@ -1219,7 +1220,7 @@ def _zonemap_probe(f: b.BExpr, lits):
         return None
     if l.ty.name == "DECIMAL" and isinstance(val, (int, float)) and lit.ty.name != "DECIMAL":
         val = val * (10 ** l.ty.scale)
-    return l.index, op, float(val)
+    return l.index, op, np.longdouble(val)
 
 
 def _null_key(dtype):
