@@ -1,0 +1,109 @@
+"""Multi-chip layer tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+single-chip goldens -> multi-chip-on-one-host via device mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adacom_tpu import types as tt
+from adacom_tpu.ops import bitpack, segcodec
+from adacom_tpu.parallel import mesh as pmesh
+from adacom_tpu.parallel import ops as pops
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return pmesh.make_mesh(8)
+
+
+def _pack_segments(rng, n_seg, seg_rows, width_span):
+    packs = []
+    datas = []
+    for s in range(n_seg):
+        base = rng.integers(0, 1 << 20)
+        vals = (base + rng.integers(0, width_span, seg_rows)).astype(np.uint32)
+        datas.append(vals)
+        packs.append(segcodec.pack_segment(jnp.asarray(vals), tt.UINTEGER))
+    return packs, datas
+
+
+def test_distributed_scan_agg_matches_numpy(mesh8, rng):
+    seg_rows = 1024
+    n_seg = 16
+    packs, datas = _pack_segments(rng, n_seg, seg_rows, 1 << 13)
+    widths = packs[0].widths
+    assert all(p.widths == widths for p in packs)
+    n_lanes = packs[0].n_lanes
+    words, mins, counts = pops.stack_packed_segments(packs, n_lanes)
+    words = pmesh.shard_leading(mesh8, words)
+    mins = pmesh.shard_leading(mesh8, mins)
+    counts = pmesh.shard_leading(mesh8, counts)
+
+    thresh = np.uint32(1 << 19)
+    pred = lambda v, params: v < params
+    fn = pops.make_distributed_scan_agg(mesh8, widths, n_lanes, predicate=pred)
+    s, c = fn(words, mins, counts, thresh)
+
+    all_vals = np.concatenate(datas)
+    m = all_vals < thresh
+    assert int(c) == int(m.sum())
+    assert int(s) == int(all_vals[m].astype(np.int64).sum())
+
+
+def test_hash_repartition_roundtrip(mesh8, rng):
+    n_dev = 8
+    n_local = 256
+    n = n_dev * n_local
+    keys = rng.integers(0, 1 << 30, n).astype(np.int64)
+    vals = rng.integers(0, 1 << 30, n).astype(np.int64)
+    valid = np.ones(n, dtype=bool)
+    valid[::17] = False
+    capacity = 128
+    fn = pops.make_hash_repartition(mesh8, capacity, n_payloads=1)
+    k_out, v_out, overflow, p_out = fn(
+        pmesh.shard_leading(mesh8, jnp.asarray(keys)),
+        pmesh.shard_leading(mesh8, jnp.asarray(valid)),
+        pmesh.shard_leading(mesh8, jnp.asarray(vals)),
+    )
+    assert int(np.asarray(overflow).sum()) == 0
+    k_np = np.asarray(k_out).reshape(n_dev, n_dev, capacity)
+    v_np = np.asarray(v_out).reshape(n_dev, n_dev, capacity)
+    p_np = np.asarray(p_out).reshape(n_dev, n_dev, capacity)
+    # every valid row lands on the device its key hashes to
+    got = {}
+    for d in range(n_dev):
+        for src in range(n_dev):
+            for j in range(capacity):
+                if v_np[d, src, j]:
+                    got[(int(k_np[d, src, j]), int(p_np[d, src, j]))] = d
+    assert len(got) == int(valid.sum())
+    h = np.asarray(pops._hash64(jnp.asarray(keys)))
+    for (k, p), d in got.items():
+        i = np.nonzero((keys == k) & (vals == p))[0][0]
+        assert int(h[i] % n_dev) == d
+
+
+def test_distributed_groupby_sum(mesh8, rng):
+    n_dev = 8
+    n = n_dev * 512
+    domain = 64
+    keys = rng.integers(0, domain, n).astype(np.int64)
+    vals = rng.integers(0, 1000, n).astype(np.int64)
+    valid = rng.random(n) > 0.1
+    fn = pops.make_distributed_groupby_sum(mesh8, capacity=n, domain=domain)
+    sums, cnts = fn(
+        pmesh.shard_leading(mesh8, jnp.asarray(keys)),
+        pmesh.shard_leading(mesh8, jnp.asarray(valid)),
+        pmesh.shard_leading(mesh8, jnp.asarray(vals)),
+    )
+    sums = np.asarray(sums)
+    cnts = np.asarray(cnts)
+    exp_sums = np.zeros(domain, np.int64)
+    exp_cnts = np.zeros(domain, np.int64)
+    np.add.at(exp_sums, keys[valid], vals[valid])
+    np.add.at(exp_cnts, keys[valid], 1)
+    np.testing.assert_array_equal(sums, exp_sums)
+    np.testing.assert_array_equal(cnts, exp_cnts)
