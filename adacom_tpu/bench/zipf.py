@@ -45,6 +45,11 @@ class ZipfSampler:
         return np.exp(_log1pxbx(t) * x)
 
     def sample(self, size: int) -> np.ndarray:
+        from adacom_tpu import native
+
+        if native.available():
+            seed = int(self.rng.integers(0, 1 << 62))
+            return native.zipf_sample(self.n, self.q, seed, size)
         out = np.empty(size, dtype=np.int64)
         filled = 0
         while filled < size:

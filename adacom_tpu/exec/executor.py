@@ -271,6 +271,12 @@ class Executor:
         per_col: List[List[np.ndarray]] = [[] for _ in range(ncols)]
         per_valid: List[List[Optional[np.ndarray]]] = [[] for _ in range(ncols)]
         any_valid = [False] * ncols
+        # single eq-conjunct fast path -> native C++ filter kernel
+        eq_probe = None
+        if len(get.filters) == 1:
+            p = _zonemap_probe(get.filters[0], lits)
+            if p is not None and p[1] == "=" and float(p[2]).is_integer():
+                eq_probe = (p[0], int(p[2]))
         for i in candidates:
             segs = [table.segment(c, i) for c in get.column_ids]
             cols = []
@@ -278,22 +284,31 @@ class Executor:
                 hv = s.host_plain()
                 hvv = s.host_validity()
                 cols.append((hv, hvv))
-            if filt is not None:
-                try:
-                    fv, fm = filt.fn(cols, params)
-                except Exception:
-                    return None
-                if not isinstance(fv, np.ndarray):
-                    return None
-                mask = fv
-                if fm is not None:
-                    mask = mask & fm
-            else:
-                mask = np.ones(segs[0].count, dtype=bool)
             dm = table.delete_mask(i)
-            if dm is not None:
-                mask = mask & ~dm[: len(mask)]
-            rows = np.nonzero(mask)[0]
+            rows = None
+            if eq_probe is not None and dm is None:
+                fcol, fval = eq_probe
+                fvals, fvalid = cols[fcol]
+                if fvalid is None and fvals.dtype == np.uint32 and 0 <= fval < (1 << 32):
+                    from adacom_tpu import native as _native
+
+                    rows = _native.filter_eq_u32(fvals, fval)
+            if rows is None:
+                if filt is not None:
+                    try:
+                        fv, fm = filt.fn(cols, params)
+                    except Exception:
+                        return None
+                    if not isinstance(fv, np.ndarray):
+                        return None
+                    mask = fv
+                    if fm is not None:
+                        mask = mask & fm
+                else:
+                    mask = np.ones(segs[0].count, dtype=bool)
+                if dm is not None:
+                    mask = mask & ~dm[: len(mask)]
+                rows = np.nonzero(mask)[0]
             for c in range(ncols):
                 per_col[c].append(cols[c][0][rows])
                 v = cols[c][1]

@@ -1,0 +1,154 @@
+"""ctypes bindings to the native host runtime (native/adacom_native.cpp).
+
+Auto-builds the shared library on first import when a compiler is
+available (native/Makefile); every function has a NumPy fallback so the
+engine works without it. Use `available()` to check which path is live."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libadacom_native.so")
+
+_i64 = ctypes.c_int64
+_u64 = ctypes.c_uint64
+_u32 = ctypes.c_uint32
+_int = ctypes.c_int
+_dbl = ctypes.c_double
+_p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+_p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH) and os.environ.get("ADACOM_BUILD_NATIVE", "1") == "1":
+        try:
+            subprocess.run(
+                ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(_SO_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.adacom_pack_u32.argtypes = [_p_u32, _i64, _int, _p_u32]
+    lib.adacom_unpack_u32.argtypes = [_p_u32, _i64, _int, _p_u32]
+    lib.adacom_gather_u32.argtypes = [_p_u32, _i64, _int, _p_i64, _i64, _p_u32]
+    lib.adacom_filter_eq_u32.argtypes = [_p_u32, _i64, _u32, _p_i64]
+    lib.adacom_filter_eq_u32.restype = _i64
+    lib.adacom_filter_range_u32.argtypes = [_p_u32, _i64, _u32, _u32, _p_i64]
+    lib.adacom_filter_range_u32.restype = _i64
+    lib.adacom_filter_eq_i64.argtypes = [_p_i64, _i64, _i64, _p_i64]
+    lib.adacom_filter_eq_i64.restype = _i64
+    lib.adacom_packed_filter_eq_u32.argtypes = [_p_u32, _i64, _int, _u32, _u32, _p_i64]
+    lib.adacom_packed_filter_eq_u32.restype = _i64
+    lib.adacom_zipf_sample.argtypes = [_u64, _dbl, _u64, _i64, _p_i64]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------- codec ----------------
+
+
+def pack_u32(codes: np.ndarray, width: int) -> np.ndarray:
+    """Host-side vertical-lane pack; layout-identical to ops/bitpack.pack."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint32)
+    n = len(codes)
+    L = max(1, (n + 31) // 32)
+    lib = _load()
+    if lib is None:
+        from adacom_tpu.ops.bitpack import pack_numpy
+
+        return pack_numpy(codes, width)
+    out = np.zeros((width, L), dtype=np.uint32)
+    lib.adacom_pack_u32(codes, n, width, out)
+    return out
+
+
+def unpack_u32(words: np.ndarray, count: int, width: int) -> np.ndarray:
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    lib = _load()
+    if lib is None:
+        from adacom_tpu.ops.bitpack import unpack_numpy
+
+        return unpack_numpy(words, count, width)
+    out = np.zeros(count, dtype=np.uint32)
+    lib.adacom_unpack_u32(words, count, width, out)
+    return out
+
+
+def gather_u32(words: np.ndarray, n_lanes: int, width: int, idx: np.ndarray) -> np.ndarray:
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    lib = _load()
+    if lib is None:
+        from adacom_tpu.ops.bitpack import unpack_numpy
+
+        full = unpack_numpy(words, n_lanes * 32, width)
+        return full[idx]
+    out = np.zeros(len(idx), dtype=np.uint32)
+    lib.adacom_gather_u32(words, n_lanes, width, idx, len(idx), out)
+    return out
+
+
+# ---------------- filters ----------------
+
+
+def filter_eq_u32(vals: np.ndarray, v: int) -> np.ndarray:
+    lib = _load()
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    if lib is None:
+        return np.nonzero(vals == np.uint32(v))[0]
+    idx = np.empty(len(vals), dtype=np.int64)
+    m = lib.adacom_filter_eq_u32(vals, len(vals), np.uint32(v), idx)
+    return idx[:m]
+
+
+def packed_filter_eq_u32(words: np.ndarray, count: int, width: int,
+                         min_factor: int, v: int) -> np.ndarray:
+    """Point-lookup scan DIRECTLY over packed host words (no decode pass)."""
+    lib = _load()
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    if lib is None:
+        from adacom_tpu.ops.bitpack import unpack_numpy
+
+        vals = unpack_numpy(words, count, width).astype(np.uint64) + min_factor
+        return np.nonzero(vals == v)[0]
+    idx = np.empty(count, dtype=np.int64)
+    m = lib.adacom_packed_filter_eq_u32(words, count, width,
+                                        np.uint32(min_factor), np.uint32(v), idx)
+    return idx[:m]
+
+
+# ---------------- workloads ----------------
+
+
+def zipf_sample(n: int, q: float, seed: int, size: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from adacom_tpu.bench.zipf import ZipfSampler
+
+        return ZipfSampler(n, q, seed).sample(size)
+    out = np.empty(size, dtype=np.int64)
+    lib.adacom_zipf_sample(np.uint64(n), float(q), np.uint64(seed), size, out)
+    return out
