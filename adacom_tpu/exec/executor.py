@@ -667,11 +667,19 @@ class Executor:
 
     def _scan_agg_batches(self, node, get, lits, spec_entries, group_fns,
                           dense, params, kernels):
-        """Run the fused scan+aggregate kernel per candidate segment."""
+        """Run the fused scan+aggregate kernel over candidate segments.
+
+        Segments with the same representation meta are *pooled*: their
+        packed arrays stack into one (n_seg, ...) batch and a single
+        vmapped kernel produces the merged partials — one dispatch per
+        representation class instead of one per segment (the reference's
+        morsel loop, amortized; pool stacks are cached across queries)."""
         table = get.table
         table.flush()
         filt = self._compiled_filter(get)
         fparams = filt.prep_args(lits) if filt is not None else ()
+        per_segment = []
+        pools: Dict[tuple, list] = {}
         for i in self._zonemap_candidates(get, lits):
             segs = [table.segment(c, i) for c in get.column_ids]
             count = segs[0].count if segs else 0
@@ -690,6 +698,60 @@ class Executor:
             has_del = del_mask is not None
             n_pad = bitpack.ROWS * bitpack.lanes_for(count)
             key = (tuple(metas), n_pad, has_del)
+            if has_del:
+                per_segment.append((i, count, key, metas, arrays, del_mask))
+            else:
+                pools.setdefault(key, []).append(
+                    (i, count, segs, arrays)
+                )
+
+        for key, entries in pools.items():
+            metas_t, n_pad, _ = key
+            if len(entries) < 4:
+                for i, count, segs, arrays in entries:
+                    per_segment.append((i, count, key, list(metas_t), arrays, None))
+                continue
+            # pooled path: pad the pool to the next power of two with
+            # zero-count dummies so kernel shapes stay stable across
+            # zonemap-dependent candidate sets
+            n = len(entries)
+            n_padded = 1 << (n - 1).bit_length()
+            stack_key = (
+                key, tuple(get.column_ids),
+                tuple((id(s), s.version) for _, _, segs, _ in entries for s in segs),
+                n_padded,
+            )
+            cache = getattr(get.table, "_pool_cache", None)
+            if cache is None:
+                cache = get.table._pool_cache = {}
+            stacked = cache.get(stack_key)
+            if stacked is None:
+                n_args = len(entries[0][3])
+                cols_stacked = []
+                for a in range(n_args):
+                    arrs = [e[3][a] for e in entries]
+                    pad = [arrs[-1]] * (n_padded - n)
+                    cols_stacked.append(jnp.stack(arrs + pad))
+                counts = np.zeros(n_padded, np.int32)
+                counts[:n] = [e[1] for e in entries]
+                stacked = (tuple(cols_stacked), jnp.asarray(counts))
+                cache.clear() if len(cache) > 8 else None
+                cache[stack_key] = stacked
+            pkern_key = ("pool", key, n_padded)
+            kern = kernels.get(pkern_key)
+            if kern is None:
+                kern = _build_pooled_scan_agg_kernel(
+                    metas_t,
+                    [compute_dtype_of(t) for t in get.types],
+                    filt, n_pad, spec_entries, group_fns, dense,
+                )
+                kernels[pkern_key] = kern
+            arrays_s, counts_s = stacked
+            out = kern(counts_s, fparams, params, *arrays_s)
+            yield -1, sum(e[1] for e in entries), out
+
+        for i, count, key, metas, arrays, del_mask in per_segment:
+            metas_t, n_pad, has_del = key
             kern = kernels.get(key)
             if kern is None:
                 kern = _build_scan_agg_kernel(
@@ -711,8 +773,15 @@ class Executor:
         non-scan children)."""
         specs, finishers = self._agg_specs(node)
         n = mat.nrows
-        # evaluate group exprs + agg args on device, pull to host
-        exprs = list(node.groups) + [a for _, a, _ in specs if a is not None]
+        # evaluate group exprs + agg args (deduped by identity, matching the
+        # consumption order below)
+        arg_exprs = []
+        seen_ids = set()
+        for _, a, _ in specs:
+            if a is not None and id(a) not in seen_ids:
+                seen_ids.add(id(a))
+                arg_exprs.append(a)
+        exprs = list(node.groups) + arg_exprs
         outs = self._eval_on_mat(exprs, mat, lits) if exprs else []
         gvals = []
         for k in range(len(node.groups)):
@@ -800,7 +869,9 @@ class Executor:
         right = self._exec(node.right, lits)
         jt = node.join_type
 
-        if jt == "cross" and not node.conditions:
+        if not node.conditions:
+            # cross product (also inner joins whose only predicates are
+            # non-equi residuals)
             li = np.repeat(np.arange(left.nrows), right.nrows)
             ri = np.tile(np.arange(right.nrows), left.nrows)
         else:
@@ -1051,81 +1122,123 @@ def _compact_batch(mask, arrays, valid_arrays):
     return cnt_vec, outs
 
 
+def _scan_agg_body(metas, dtypes, filt, n_pad, spec_entries, group_fns, dense,
+                   count, fparams, params, arrays, del_mask=None):
+    """Shared trace fragment: one segment's fused decode+filter+partials."""
+    cols = _decode_columns(metas, dtypes, arrays, (), n_pad)
+    mask = tail_mask(n_pad, count)
+    if del_mask is not None:
+        mask = mask & (~del_mask)
+    if filt is not None:
+        fv, fm = filt.fn(cols, fparams)
+        if hasattr(fv, "shape") and fv.shape == ():
+            fv = jnp.broadcast_to(fv, (n_pad,))
+        mask = mask & fv
+        if fm is not None:
+            mask = mask & fm
+    return _agg_partials(cols, mask, params, n_pad, spec_entries, group_fns, dense)
+
+
+def _build_pooled_scan_agg_kernel(metas, dtypes, filt, n_pad,
+                                  spec_entries, group_fns, dense):
+    n_args = sum(seg_arg_count(m) + (1 if v == "v" else 0) for m, v in metas)
+
+    def seg_body(count, fparams, params, *arrays):
+        return _scan_agg_body(metas, dtypes, filt, n_pad, spec_entries,
+                              group_fns, dense, count, fparams, params, arrays)
+
+    @jax.jit
+    def kernel(counts, fparams, params, *arrays_stacked):
+        outs = jax.vmap(
+            seg_body, in_axes=(0, None, None) + (0,) * len(arrays_stacked)
+        )(counts, fparams, params, *arrays_stacked)
+        merged = []
+        for k, (kind, _, _) in enumerate(spec_entries):
+            mk = _merge_kind(kind)
+            x = outs[k]
+            if mk in ("sum", "count"):
+                merged.append(jnp.sum(x, axis=0))
+            elif mk == "min":
+                merged.append(jnp.min(x, axis=0))
+            else:
+                merged.append(jnp.max(x, axis=0))
+        return tuple(merged)
+
+    return kernel
+
+
 def _build_scan_agg_kernel(metas, dtypes, filt, n_pad, has_del,
                            spec_entries, group_fns, dense):
     @jax.jit
     def kernel(count, fparams, params, extra, *arrays):
-        cols = _decode_columns(metas, dtypes, arrays, extra, n_pad)
-        mask = tail_mask(n_pad, count)
-        if has_del:
-            mask = mask & (~extra[0])
-        if filt is not None:
-            fv, fm = filt.fn(cols, fparams)
-            if hasattr(fv, "shape") and fv.shape == ():
-                fv = jnp.broadcast_to(fv, (n_pad,))
-            mask = mask & fv
-            if fm is not None:
-                mask = mask & fm
+        return _scan_agg_body(
+            metas, dtypes, filt, n_pad, spec_entries, group_fns, dense,
+            count, fparams, params, arrays,
+            del_mask=extra[0] if has_del else None,
+        )
 
-        if dense is not None:
-            mins, strides, sizes, domain = dense
-            keys = [gf(cols, params)[0] for gf in group_fns]
-            gid = agg_ops.dense_group_ids(keys, mins, strides, domain)
-            # per-spec null-arg masks are pre-applied via neutral values so
-            # one shared scatter mask (the filter mask) suffices
-            outs = []
-            for kind, argf, acc in spec_entries:
-                if kind == "count":
-                    outs.append(agg_ops.grouped_partial(
-                        gid, mask, [("count", None, acc)], domain)[0])
-                    continue
-                v, vm = argf(cols, params)
-                if hasattr(v, "shape") and v.shape == ():
-                    v = jnp.broadcast_to(v, (n_pad,))
-                if kind == "count_arg":
-                    ones = jnp.ones(n_pad, jnp.int64)
-                    if vm is not None:
-                        ones = jnp.where(vm, ones, 0)
-                    outs.append(agg_ops.grouped_partial(
-                        gid, mask, [("sum", ones, np.int64)], domain)[0])
-                    continue
-                if vm is not None:
-                    if kind in ("sum", "sumsq"):
-                        v = jnp.where(vm, v, jnp.zeros((), v.dtype))
-                    elif kind == "min":
-                        v = jnp.where(vm, v, jnp.asarray(agg_ops._max_sentinel(acc), v.dtype))
-                    elif kind == "max":
-                        v = jnp.where(vm, v, jnp.asarray(agg_ops._min_sentinel(acc), v.dtype))
-                outs.append(agg_ops.grouped_partial(
-                    gid, mask, [(kind, v, acc)], domain)[0])
-            return tuple(outs)
+    return kernel
 
-        # ungrouped
+
+def _agg_partials(cols, mask, params, n_pad, spec_entries, group_fns, dense):
+    if dense is not None:
+        mins, strides, sizes, domain = dense
+        keys = [gf(cols, params)[0] for gf in group_fns]
+        gid = agg_ops.dense_group_ids(keys, mins, strides, domain)
+        # per-spec null-arg masks are pre-applied via neutral values so
+        # one shared scatter mask (the filter mask) suffices
         outs = []
         for kind, argf, acc in spec_entries:
             if kind == "count":
-                outs.append(agg_ops.masked_count(mask, n_pad))
+                outs.append(agg_ops.grouped_partial(
+                    gid, mask, [("count", None, acc)], domain)[0])
                 continue
             v, vm = argf(cols, params)
             if hasattr(v, "shape") and v.shape == ():
                 v = jnp.broadcast_to(v, (n_pad,))
-            m = mask if vm is None else (mask & vm)
             if kind == "count_arg":
-                outs.append(agg_ops.masked_count(m, n_pad))
-            elif kind == "sum":
-                outs.append(agg_ops.masked_sum(v, m, acc))
-            elif kind == "sumsq":
-                vv = v.astype(acc)
-                outs.append(agg_ops.masked_sum(vv * vv, m, acc))
-            elif kind == "min":
-                outs.append(agg_ops.masked_min(v, m, acc, agg_ops._max_sentinel(acc)))
-            elif kind == "max":
-                outs.append(agg_ops.masked_max(v, m, acc, agg_ops._min_sentinel(acc)))
-            else:
-                raise ExecError(kind)
+                ones = jnp.ones(n_pad, jnp.int64)
+                if vm is not None:
+                    ones = jnp.where(vm, ones, 0)
+                outs.append(agg_ops.grouped_partial(
+                    gid, mask, [("sum", ones, np.int64)], domain)[0])
+                continue
+            if vm is not None:
+                if kind in ("sum", "sumsq"):
+                    v = jnp.where(vm, v, jnp.zeros((), v.dtype))
+                elif kind == "min":
+                    v = jnp.where(vm, v, jnp.asarray(agg_ops._max_sentinel(acc), v.dtype))
+                elif kind == "max":
+                    v = jnp.where(vm, v, jnp.asarray(agg_ops._min_sentinel(acc), v.dtype))
+            outs.append(agg_ops.grouped_partial(
+                gid, mask, [(kind, v, acc)], domain)[0])
         return tuple(outs)
 
-    return kernel
+    # ungrouped
+    outs = []
+    for kind, argf, acc in spec_entries:
+        if kind == "count":
+            outs.append(agg_ops.masked_count(mask, n_pad))
+            continue
+        v, vm = argf(cols, params)
+        if hasattr(v, "shape") and v.shape == ():
+            v = jnp.broadcast_to(v, (n_pad,))
+        m = mask if vm is None else (mask & vm)
+        if kind == "count_arg":
+            outs.append(agg_ops.masked_count(m, n_pad))
+        elif kind == "sum":
+            outs.append(agg_ops.masked_sum(v, m, acc))
+        elif kind == "sumsq":
+            vv = v.astype(acc)
+            outs.append(agg_ops.masked_sum(vv * vv, m, acc))
+        elif kind == "min":
+            outs.append(agg_ops.masked_min(v, m, acc, agg_ops._max_sentinel(acc)))
+        elif kind == "max":
+            outs.append(agg_ops.masked_max(v, m, acc, agg_ops._min_sentinel(acc)))
+        else:
+            raise ExecError(kind)
+    return tuple(outs)
+
 
 
 # ======================================================================

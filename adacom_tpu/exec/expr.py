@@ -347,14 +347,30 @@ class ExprCompiler:
         lf, rf = self._c(l), self._c(r)
 
         if op in ("=", "<>", "<", "<=", ">", ">="):
-            # promote to a common comparable dtype
+            # promote to a common comparable dtype; decimals with unequal
+            # scales (or vs plain numerics) compare in float64 after
+            # descaling each side
             cdt = self._promote(l.ty, r.ty)
+            l_s = l.ty.scale if l.ty.name == "DECIMAL" else 0
+            r_s = r.ty.scale if r.ty.name == "DECIMAL" else 0
+            l_num = l.ty.integer or l.ty.is_float
+            r_num = r.ty.integer or r.ty.is_float
+            descale = (l_s != r_s) or (
+                (l_s or r_s) and (l.ty.is_float or r.ty.is_float or
+                                  (l_num and r_num and (l.ty.name == "DECIMAL") != (r.ty.name == "DECIMAL")))
+            )
+            ldiv = 10.0 ** l_s
+            rdiv = 10.0 ** r_s
 
             def fn(cols, args):
                 lv, lm = lf(cols, args)
                 rv, rm = rf(cols, args)
-                lv = lv.astype(cdt) if hasattr(lv, "astype") else lv
-                rv = rv.astype(cdt) if hasattr(rv, "astype") else rv
+                if descale:
+                    lv = lv.astype(np.float64) / ldiv if hasattr(lv, "astype") else lv / ldiv
+                    rv = rv.astype(np.float64) / rdiv if hasattr(rv, "astype") else rv / rdiv
+                else:
+                    lv = lv.astype(cdt) if hasattr(lv, "astype") else lv
+                    rv = rv.astype(cdt) if hasattr(rv, "astype") else rv
                 if op == "=":
                     v = lv == rv
                 elif op == "<>":
@@ -374,11 +390,28 @@ class ExprCompiler:
         res_dt = compute_dtype_of(e.ty)
         l_scale = l.ty.scale if l.ty.name == "DECIMAL" else 0
         r_scale = r.ty.scale if r.ty.name == "DECIMAL" else 0
+        res_float = np.dtype(res_dt).kind == "f"
 
         def fn(cols, args):
             lv, lm = lf(cols, args)
             rv, rm = rf(cols, args)
             m = _and_valid(lm, rm)
+            if res_float and (l_scale or r_scale):
+                # float result: descale decimal operands up front
+                if l_scale:
+                    lv = lv.astype(np.float64) / (10.0 ** l_scale)
+                if r_scale:
+                    rv = rv.astype(np.float64) / (10.0 ** r_scale)
+                if op == "+":
+                    return lv + rv, m
+                if op == "-":
+                    return lv - rv, m
+                if op == "*":
+                    return lv * rv, m
+                if op == "/":
+                    return lv / rv, m
+                if op == "%":
+                    return lv % rv, m
             if op == "+":
                 if l_scale or r_scale:
                     s = max(l_scale, r_scale)

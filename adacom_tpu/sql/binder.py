@@ -675,6 +675,18 @@ class Binder:
         if op in ("and", "or"):
             return b.BBinary(tt.BOOLEAN, op, l, r)
         if op in ("=", "<>", "<", "<=", ">", ">="):
+            # coerce string literals compared against DATE columns
+            # ('1994-01-01' style, sqlite-compatible query text)
+            def _coerce_date(side, other):
+                if other.ty is tt.DATE and isinstance(side, b.BLiteral) and \
+                        side.ty.is_string:
+                    if side.param is not None:
+                        return b.BLiteral(tt.DATE, side.value, side.param)
+                    return b.BLiteral(tt.DATE, days_from_iso(str(side.value)))
+                return side
+
+            l = _coerce_date(l, r)
+            r = _coerce_date(r, l)
             return b.BBinary(tt.BOOLEAN, op, l, r)
         if op == "||":
             return b.BBinary(tt.VARCHAR, op, l, r)

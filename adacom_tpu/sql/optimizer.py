@@ -91,24 +91,74 @@ def _push_one(node: b.LogicalOp, conj: b.BExpr) -> bool:
         n_left = len(node.left.names)
         idxs = [c.index for c in _cols(conj)]
         if idxs and all(i < n_left for i in idxs):
-            if node.join_type in ("inner", "left", "cross"):
-                # left-side-only predicates are safe on the left input for
-                # inner/cross; for LEFT joins they filter preserved rows,
-                # so only push for inner/cross
-                if node.join_type in ("inner", "cross"):
-                    return _push_one(node.left, conj)
+            if node.join_type in ("inner", "cross"):
+                # left-side-only predicates sink into the left input; for
+                # LEFT joins they'd filter preserved rows, so don't push
+                return _push_one(node.left, conj)
             return False
         if idxs and all(i >= n_left for i in idxs):
             if node.join_type in ("inner", "cross"):
                 shifted = _remap(conj, {i: i - n_left for i in idxs})
                 return _push_one(node.right, shifted)
             return False
+        # conjunct spans both sides: lift equi-predicates into join
+        # conditions (comma joins parse as CROSS; this is the reference's
+        # filter-pushdown + join-condition extraction,
+        # src/optimizer/pushdown/pushdown_cross_product.cpp)
+        if node.join_type in ("inner", "cross"):
+            if isinstance(conj, b.BBinary) and conj.op == "=":
+                sl = _side_of(conj.left, n_left)
+                sr = _side_of(conj.right, n_left)
+                if sl == "left" and sr == "right":
+                    node.conditions.append(
+                        (conj.left, _remap(conj.right, {i: i - n_left for i in
+                                                        [c.index for c in _cols(conj.right)]}))
+                    )
+                    node.join_type = "inner"
+                    return True
+                if sl == "right" and sr == "left":
+                    node.conditions.append(
+                        (conj.right, _remap(conj.left, {i: i - n_left for i in
+                                                        [c.index for c in _cols(conj.left)]}))
+                    )
+                    node.join_type = "inner"
+                    return True
+            node.residual = conj if node.residual is None else b.BBinary(
+                tt.BOOLEAN, "and", node.residual, conj
+            )
+            node.join_type = "inner"
+            return True
         return False
     return False
 
 
+def _side_of(e: b.BExpr, n_left: int):
+    idxs = [c.index for c in _cols(e)]
+    if not idxs:
+        return None
+    if all(i < n_left for i in idxs):
+        return "left"
+    if all(i >= n_left for i in idxs):
+        return "right"
+    return "both"
+
+
 def _cols(e: b.BExpr) -> List[b.BColumn]:
     return [x for x in b.expr_walk(e) if isinstance(x, b.BColumn)]
+
+
+def _apply_mapping(exprs, mapping) -> None:
+    """Remap column indices across expressions, visiting each shared
+    BColumn object exactly once (BETWEEN/CASE desugaring shares nodes)."""
+    seen = set()
+    for e in exprs:
+        if e is None:
+            continue
+        for c in _cols(e):
+            if id(c) in seen:
+                continue
+            seen.add(id(c))
+            c.index = mapping[c.index]
 
 
 def _remap(e: b.BExpr, mapping: Dict[int, int]) -> b.BExpr:
@@ -188,9 +238,7 @@ def prune_columns(op: b.LogicalOp, required: Optional[Set[int]] = None) -> b.Log
         if not keep:
             keep = [0]
         mapping = {old: new for new, old in enumerate(keep)}
-        for fl in op.filters:
-            for c in _cols(fl):
-                c.index = mapping[c.index]
+        _apply_mapping(op.filters, mapping)
         op.column_ids = [op.column_ids[i] for i in keep]
         new_names = [op.names[i] for i in keep]
         new_types = [op.types[i] for i in keep]
@@ -207,9 +255,7 @@ def prune_columns(op: b.LogicalOp, required: Optional[Set[int]] = None) -> b.Log
         op.child = prune_columns(op.child, used_child)
         mapping = getattr(op.child, "_pruned_mapping", None)
         if mapping:
-            for e in op.exprs:
-                for c in _cols(e):
-                    c.index = mapping[c.index]
+            _apply_mapping(op.exprs, mapping)
         return op
     if isinstance(op, b.LogicalFilter):
         used: Set[int] = set(required) if required is not None else set(range(len(op.names)))
@@ -217,8 +263,7 @@ def prune_columns(op: b.LogicalOp, required: Optional[Set[int]] = None) -> b.Log
         op.child = prune_columns(op.child, used)
         mapping = getattr(op.child, "_pruned_mapping", None)
         if mapping:
-            for c in _cols(op.condition):
-                c.index = mapping[c.index]
+            _apply_mapping([op.condition], mapping)
             op._pruned_mapping = mapping
             op.names = list(op.child.names)
             op.types = list(op.child.types)
@@ -234,13 +279,7 @@ def prune_columns(op: b.LogicalOp, required: Optional[Set[int]] = None) -> b.Log
         op.child = prune_columns(op.child, used)
         mapping = getattr(op.child, "_pruned_mapping", None)
         if mapping:
-            for g in op.groups:
-                for c in _cols(g):
-                    c.index = mapping[c.index]
-            for a in op.aggregates:
-                if a.arg is not None:
-                    for c in _cols(a.arg):
-                        c.index = mapping[c.index]
+            _apply_mapping(list(op.groups) + [a.arg for a in op.aggregates], mapping)
         return op
     if isinstance(op, b.LogicalJoin):
         n_left = len(op.left.names)
@@ -263,11 +302,8 @@ def prune_columns(op: b.LogicalOp, required: Optional[Set[int]] = None) -> b.Log
         ml = getattr(op.left, "_pruned_mapping", None) or {i: i for i in range(n_left)}
         mr = getattr(op.right, "_pruned_mapping", None) or {i: i for i in range(n_right)}
         new_n_left = len(op.left.names)
-        for le, re_ in op.conditions:
-            for c in _cols(le):
-                c.index = ml[c.index]
-            for c in _cols(re_):
-                c.index = mr[c.index]
+        _apply_mapping([le for le, _ in op.conditions], ml)
+        _apply_mapping([re_ for _, re_ in op.conditions], mr)
         comb = {}
         for old in range(len(op.names)):
             if old < n_left and old in ml:
@@ -275,8 +311,7 @@ def prune_columns(op: b.LogicalOp, required: Optional[Set[int]] = None) -> b.Log
             elif old >= n_left and (old - n_left) in mr:
                 comb[old] = mr[old - n_left] + new_n_left
         if op.residual is not None:
-            for c in _cols(op.residual):
-                c.index = comb[c.index]
+            _apply_mapping([op.residual], comb)
         dicts = getattr(op, "dicts", [None] * len(op.names))
         remap_out, new_names, new_types, new_dicts = {}, [], [], []
         for old, new in sorted(comb.items(), key=lambda kv: kv[1]):

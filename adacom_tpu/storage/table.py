@@ -90,8 +90,19 @@ class Column:
         self._staging.append((values, validity))
         self._staged_rows += len(values)
         seg_rows = self.config.segment_rows
-        while self._staged_rows >= seg_rows:
-            self._seal_rows(seg_rows)
+        if self._staged_rows < seg_rows:
+            return
+        # concatenate once, seal every full segment as a zero-copy slice,
+        # keep only the tail staged
+        vals, mask = self._concat_staging()
+        n_full = len(vals) // seg_rows
+        for k in range(n_full):
+            sl = slice(k * seg_rows, (k + 1) * seg_rows)
+            self._seal_array(vals[sl], mask[sl] if mask is not None else None)
+        rest_v = vals[n_full * seg_rows :]
+        rest_m = mask[n_full * seg_rows :] if mask is not None else None
+        self._staging = [(rest_v, rest_m)] if len(rest_v) else []
+        self._staged_rows = len(rest_v)
 
     def _concat_staging(self):
         vals = np.concatenate([v for v, _ in self._staging]) if len(self._staging) > 1 else self._staging[0][0]
@@ -105,27 +116,24 @@ class Column:
             mask = None
         return vals, mask
 
-    def _seal_rows(self, n: int):
-        vals, mask = self._concat_staging()
-        take_v, rest_v = vals[:n], vals[n:]
-        take_m = mask[:n] if mask is not None else None
-        rest_m = mask[n:] if mask is not None else None
+    def _seal_array(self, vals: np.ndarray, mask: Optional[np.ndarray]):
         start_row = sum(s.count for s in self.segments)
         seg = ColumnSegment(
-            self.ltype, take_v, self.config, self.bm,
-            validity=take_m, start_row=start_row,
+            self.ltype, vals, self.config, self.bm,
+            validity=mask, start_row=start_row,
         )
         self.segments.append(seg)
         self.bm.add_to_data_size(seg.footprint_bytes())
         if self.seg_catalog is not None:
             self.seg_catalog.add_column_segment(seg)
-        self._staging = [(rest_v, rest_m)] if len(rest_v) else []
-        self._staged_rows = len(rest_v)
 
     def flush(self):
         """Seal any partial staging into a (short) final segment."""
         if self._staged_rows:
-            self._seal_rows(self._staged_rows)
+            vals, mask = self._concat_staging()
+            self._seal_array(vals, mask)
+            self._staging = []
+            self._staged_rows = 0
 
     def unseal_last_partial(self):
         """Pull a trailing partial segment back into staging so appends can
