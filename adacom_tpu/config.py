@@ -51,6 +51,12 @@ class DBConfig:
     # paying a device dispatch+transfer roundtrip; large scans/aggregates
     # always run on the TPU where HBM bandwidth wins. 0 disables.
     host_scan_segment_limit: int = 4
+    # Materializing scans (join/sort inputs) read from host copies when
+    # possible: materialized intermediates live host-side anyway, and the
+    # device link charges heavily per device->host byte. Fused aggregate
+    # scans are unaffected (they stay on the TPU). Disable to force device
+    # materialization.
+    host_materialize: bool = True
     # Enable per-query profiling (PRAGMA enable_profiling).
     enable_profiling: bool = False
     # Statement verification: re-run each SELECT unoptimized and compare
@@ -69,6 +75,7 @@ class DBConfig:
             "adaptive_succinct_compression_enabled",
             "enable_profiling",
             "query_verification_enabled",
+            "host_materialize",
         }
     )
 

@@ -249,12 +249,13 @@ class Executor:
             yield i, count, out
 
     def _materialize_scan(self, get: b.LogicalGet, lits) -> Mat:
-        # latency tier: a selective scan touching few segments is cheaper on
-        # the host copy than paying per-query device roundtrips
+        # host tier: selective lookups AND materializations (the output is
+        # host-resident either way; the device link charges per pulled byte)
         limit = self.config.host_scan_segment_limit
-        if limit and get.filters:
+        candidates = None
+        if (limit and get.filters) or self.config.host_materialize:
             candidates = self._zonemap_candidates(get, lits)
-            if len(candidates) <= limit:
+            if self.config.host_materialize or len(candidates) <= limit:
                 mat = self._materialize_scan_host(get, lits, candidates)
                 if mat is not None:
                     return mat
@@ -307,7 +308,11 @@ class Executor:
                 else:
                     mask = np.ones(segs[0].count, dtype=bool)
                 if dm is not None:
-                    mask = mask & ~dm[: len(mask)]
+                    # the segment may have grown since rows were deleted
+                    # (unseal-partial-and-append); pad the bitmap
+                    dmx = np.zeros(len(mask), dtype=bool)
+                    dmx[: min(len(dm), len(mask))] = dm[: len(mask)]
+                    mask = mask & ~dmx
                 rows = np.nonzero(mask)[0]
             for c in range(ncols):
                 per_col[c].append(cols[c][0][rows])
@@ -394,7 +399,7 @@ class Executor:
                 cc = ExprCompiler().compile(e)
                 e._cc = cc
             ccs.append(cc)
-        if mat.nrows <= (1 << 16) and all(isinstance(c, np.ndarray) for c in mat.cols):
+        if all(isinstance(c, np.ndarray) for c in mat.cols):
             cols_np = [(c, v) for c, v in zip(mat.cols, mat.valids)]
             outs = []
             ok = True
@@ -1253,20 +1258,32 @@ def _pull_partials(partials):
     same-dtype partials into one padded 1-D pull keeps it to one transfer
     per dtype."""
     outs: List[Any] = [None] * len(partials)
-    idx_by: Dict[str, List[int]] = {}
+    dev: List[int] = []
     for i, p in enumerate(partials):
         if isinstance(p, (np.ndarray, np.generic, int, float)):
             outs[i] = np.asarray(p)
             continue
-        idx_by.setdefault(str(p.dtype), []).append(i)
+        dev.append(i)
+    if not dev:
+        return outs
+    # one transfer per dtype class (f64<->i64 bitcasting is unsupported by
+    # the TPU backend's x64 rewrite, so ints and floats pull separately)
+    idx_by: Dict[str, List[int]] = {}
+    for i in dev:
+        idx_by.setdefault(str(partials[i].dtype), []).append(i)
     for idxs in idx_by.values():
-        stacked = jnp.stack([partials[i] for i in idxs])
-        flat = stacked.reshape(-1)
+        pieces = [partials[i].reshape(-1) for i in idxs]
+        flat = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
         if flat.shape[0] < 16:
             flat = jnp.pad(flat, (0, 16 - flat.shape[0]))
-        host = np.asarray(flat)[: stacked.size].reshape(stacked.shape)
-        for j, i in enumerate(idxs):
-            outs[i] = host[j]
+        host = np.asarray(flat)
+        off = 0
+        for i in idxs:
+            shape = partials[i].shape
+            n = int(np.prod(shape)) if shape else 1
+            chunk = host[off : off + n]
+            off += n
+            outs[i] = chunk.reshape(shape) if shape else chunk[0]
     return outs
 
 

@@ -62,6 +62,12 @@ def dense_group_ids(keys: List, mins: List, strides: List, domain: int):
     return jnp.clip(gid, 0, domain - 1).astype(jnp.int32)
 
 
+# below this domain size, grouped partials use a one-hot masked reduction
+# (VPU-friendly streaming reduce) instead of scatter-add — XLA TPU scatters
+# serialize updates and are ~100x slower at segment scale
+ONEHOT_DOMAIN_LIMIT = 128
+
+
 def grouped_partial(
     gid,            # (n,) int32 dense group ids
     mask,           # (n,) bool or None
@@ -71,6 +77,8 @@ def grouped_partial(
     """One batch's grouped partial state: tuple of (domain,)-shaped arrays.
 
     kinds: 'count' (needs mask only), 'sum', 'min', 'max', 'sumsq'."""
+    if domain <= ONEHOT_DOMAIN_LIMIT:
+        return _grouped_partial_onehot(gid, mask, specs, domain)
     outs = []
     ones = jnp.ones(gid.shape, jnp.int64)
     mask_i = ones if mask is None else mask.astype(jnp.int64)
@@ -100,6 +108,34 @@ def grouped_partial(
             sent = _min_sentinel(acc_dtype)
             acc = jnp.full((domain + 1,), sent, acc_dtype).at[safe_gid].max(v)
             outs.append(acc[:domain])
+        else:
+            raise ValueError(kind)
+    return tuple(outs)
+
+
+def _grouped_partial_onehot(gid, mask, specs, domain: int):
+    """Grouped partials via (n, domain) one-hot masked reductions."""
+    n = gid.shape[0]
+    groups = jax.lax.broadcasted_iota(jnp.int32, (1, domain), 1)
+    hot = gid[:, None] == groups  # (n, domain) bool
+    if mask is not None:
+        hot = hot & mask[:, None]
+    outs = []
+    for kind, values, acc_dtype in specs:
+        if kind == "count":
+            outs.append(jnp.sum(hot.astype(jnp.int64), axis=0))
+            continue
+        v = values.astype(acc_dtype)
+        if kind in ("sum", "sumsq"):
+            vv = v * v if kind == "sumsq" else v
+            z = jnp.zeros((), acc_dtype)
+            outs.append(jnp.sum(jnp.where(hot, vv[:, None], z), axis=0))
+        elif kind == "min":
+            sent = jnp.asarray(_max_sentinel(acc_dtype), acc_dtype)
+            outs.append(jnp.min(jnp.where(hot, v[:, None], sent), axis=0))
+        elif kind == "max":
+            sent = jnp.asarray(_min_sentinel(acc_dtype), acc_dtype)
+            outs.append(jnp.max(jnp.where(hot, v[:, None], sent), axis=0))
         else:
             raise ValueError(kind)
     return tuple(outs)
