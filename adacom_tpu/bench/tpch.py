@@ -367,6 +367,16 @@ FROM lineitem, part
 WHERE l_partkey = p_partkey
   AND l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
 """,
+    18: """
+SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum(l_quantity)
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate
+LIMIT 100
+""",
     19: """
 SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
 FROM lineitem, part

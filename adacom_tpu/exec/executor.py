@@ -123,7 +123,33 @@ class Executor:
 
     # ------------------------------------------------------------------
     def execute(self, plan: b.LogicalOp, lits: List[Any]) -> Mat:
+        self._prepare_subqueries(plan, lits)
         return self._exec(plan, lits)
+
+    def _prepare_subqueries(self, plan: b.LogicalOp, lits) -> None:
+        """Evaluate uncorrelated scalar/exists/in subqueries and stash their
+        results on the BSubquery nodes before compiled expressions run."""
+        for node in b.walk(plan):
+            for e in b.iter_node_exprs(node):
+                for sq in b.expr_walk(e):
+                    if not isinstance(sq, b.BSubquery):
+                        continue
+                    mat = self.execute(sq.plan, lits)
+                    if sq.kind == "exists":
+                        hit = mat.nrows > 0
+                        sq.cached_value = np.asarray(not hit if sq.negated else hit)
+                    elif sq.kind == "scalar":
+                        if mat.nrows == 0 or (
+                            mat.valids[0] is not None and not mat.valids[0][0]
+                        ):
+                            sq.cached_value = None
+                        else:
+                            sq.cached_value = np.asarray(mat.cols[0][0])
+                    else:  # 'in' not rewritten to a join: membership array
+                        col = mat.cols[0]
+                        if mat.valids[0] is not None:
+                            col = col[mat.valids[0]]
+                        sq.cached_value = np.unique(col)
 
     def _exec(self, node: b.LogicalOp, lits) -> Mat:
         if isinstance(node, b.LogicalGet):
@@ -873,6 +899,26 @@ class Executor:
         left = self._exec(node.left, lits)
         right = self._exec(node.right, lits)
         jt = node.join_type
+
+        if jt in ("semi", "anti"):
+            lkeys, rkeys = [], []
+            for le, re_ in node.conditions:
+                (lv, lm), = self._eval_on_mat([le], left, lits)
+                (rv, rm), = self._eval_on_mat([re_], right, lits)
+                lk, rk = np.asarray(lv), np.asarray(rv)
+                if lm is not None:
+                    lk = np.where(np.asarray(lm), lk, _null_key(lk.dtype))
+                if rm is not None:
+                    rk = np.where(np.asarray(rm), rk, _null_key(rk.dtype))
+                lkeys.append(lk)
+                rkeys.append(rk)
+            li, _ = _hash_join_pairs(lkeys, rkeys)
+            matched = np.zeros(left.nrows, dtype=bool)
+            matched[li] = True
+            keep = np.nonzero(matched if jt == "semi" else ~matched)[0]
+            out = left.take(keep)
+            out.names = list(node.names)
+            return out
 
         if not node.conditions:
             # cross product (also inner joins whose only predicates are

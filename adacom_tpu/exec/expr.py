@@ -231,6 +231,50 @@ class ExprCompiler:
                 return cols[idx]
             return fn
 
+        if isinstance(e, b.BSubquery):
+            node = e
+            if e.kind in ("scalar", "exists"):
+                dt = compute_dtype_of(e.ty)
+
+                def prep(lits):
+                    v = node.cached_value
+                    if v is None:
+                        # NULL scalar result
+                        return np.asarray(np.nan if np.dtype(dt).kind == "f" else 0, dtype=dt)
+                    return np.asarray(v, dtype=dt)
+
+                k = self._add_input(prep)
+                is_null = e.kind == "scalar"
+
+                def fn(cols, args):
+                    if is_null and node.cached_value is None:
+                        return args[k], jnp.zeros((), jnp.bool_)
+                    return args[k], None
+                return fn
+
+            # 'in' used outside a top-level filter conjunct: membership via
+            # a sorted cached array + searchsorted
+            opf = self._c(e.operand)
+            neg = e.negated
+
+            def prep(lits):
+                arr = node.cached_value
+                if arr is None or len(arr) == 0:
+                    return np.zeros(1, dtype=compute_dtype_of(node.operand.ty))
+                return np.sort(np.asarray(arr))
+
+            k = self._add_input(prep)
+
+            def fn(cols, args):
+                v, m = opf(cols, args)
+                arr = args[k]
+                idx = jnp.clip(jnp.searchsorted(arr, v), 0, arr.shape[0] - 1)
+                hit = arr[idx] == v
+                if node.cached_value is None or len(node.cached_value) == 0:
+                    hit = jnp.zeros_like(hit)
+                return (~hit if neg else hit), m
+            return fn
+
         raise NotImplementedError(f"cannot compile {type(e).__name__}")
 
     # -------------- literals --------------

@@ -603,9 +603,30 @@ class Binder:
                 raise BindError(f"aggregate {e.name} not allowed here")
             args = [self.bind_expr(a, scope) for a in e.args]
             return self._bind_scalar_func(e.name, args)
-        if isinstance(e, (ast.Exists, ast.InSubquery, ast.ScalarSubquery)):
-            raise BindError("subqueries are handled by the planner (uncorrelated only)")
+        if isinstance(e, ast.ScalarSubquery):
+            plan = self._bind_subplan(e.subquery)
+            if len(plan.types) != 1:
+                raise BindError("scalar subquery must return one column")
+            return b.BSubquery(plan.types[0], plan=plan, kind="scalar")
+        if isinstance(e, ast.Exists):
+            plan = self._bind_subplan(e.subquery)
+            return b.BSubquery(tt.BOOLEAN, plan=plan, kind="exists", negated=e.negated)
+        if isinstance(e, ast.InSubquery):
+            operand = self.bind_expr(e.operand, scope)
+            plan = self._bind_subplan(e.subquery)
+            if len(plan.types) != 1:
+                raise BindError("IN subquery must return one column")
+            return b.BSubquery(tt.BOOLEAN, plan=plan, kind="in",
+                               operand=operand, negated=e.negated)
         raise BindError(f"cannot bind {e}")
+
+    def _bind_subplan(self, stmt: ast.SelectStmt) -> b.LogicalOp:
+        """Bind an uncorrelated subquery (no outer scope; a correlated
+        column reference raises — decorrelation is a later milestone)."""
+        sub = Binder(self.catalog, self.config, self.cte_plans)
+        plan = sub.bind_select(stmt)
+        self.structural |= sub.structural
+        return plan
 
     def _bind_literal(self, e: ast.Literal) -> b.BLiteral:
         v = e.value

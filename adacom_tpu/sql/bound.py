@@ -88,6 +88,23 @@ class BDictPredicate(BExpr):
 
 
 @D
+class BSubquery(BExpr):
+    """Uncorrelated subquery expression.
+
+    kind='scalar' -> first row/col value; 'exists' -> row_count > 0;
+    'in' -> membership of `operand` in the subplan's first column (rewritten
+    to a semi/anti join by the optimizer). The executor evaluates the
+    subplan per execution and stores the result in `cached_value` before
+    compiled expressions run (reference: uncorrelated flattening in
+    src/planner/subquery/flatten_dependent_join.cpp's trivial case)."""
+    plan: Any = None  # LogicalOp
+    kind: str = "scalar"
+    operand: Optional[BExpr] = None
+    negated: bool = False
+    cached_value: Any = None
+
+
+@D
 class BAggRef(BExpr):
     """Reference to aggregate #i of the enclosing LogicalAggregate."""
     index: int
@@ -187,6 +204,25 @@ class LogicalSetOp(LogicalOp):
     all: bool = False
     left: LogicalOp = None
     right: LogicalOp = None
+
+
+def iter_node_exprs(op: LogicalOp):
+    """Yield every expression attached to one plan node."""
+    for f in dataclasses.fields(op):
+        v = getattr(op, f.name)
+        if isinstance(v, BExpr):
+            yield v
+        elif isinstance(v, list):
+            for x in v:
+                if isinstance(x, BExpr):
+                    yield x
+                elif isinstance(x, BoundAggregate):
+                    if x.arg is not None:
+                        yield x.arg
+                elif isinstance(x, tuple):
+                    for y in x:
+                        if isinstance(y, BExpr):
+                            yield y
 
 
 def walk(op: LogicalOp):

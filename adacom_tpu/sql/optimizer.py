@@ -27,6 +27,12 @@ def optimize(plan: b.LogicalOp, structural: Optional[set] = None) -> b.LogicalOp
     plan = push_filters(plan)
     plan = fuse_topn(plan, structural)
     plan = prune_columns(plan)
+    # optimize remaining (scalar/exists) subquery plans
+    for node in b.walk(plan):
+        for e in b.iter_node_exprs(node):
+            for sq in _subqueries_in(e):
+                sq.plan = fuse_topn(sq.plan, structural)
+                sq.plan = prune_columns(sq.plan)
     return plan
 
 
@@ -37,7 +43,30 @@ def push_filters(op: b.LogicalOp) -> b.LogicalOp:
     if isinstance(op, b.LogicalFilter):
         child = push_filters(op.child)
         conjuncts = _split_conjuncts(op.condition)
-        child, remaining = _push_conjuncts(child, conjuncts)
+        # separate IN (subquery) conjuncts; they become semi/anti joins
+        # AFTER the plain conjuncts have sunk (so join-condition lifting in
+        # cross-join chains happens below, not above, the semi join)
+        # (reference: src/planner/binder/query_node/plan_subquery.cpp)
+        in_subs = []
+        rest = []
+        for c in conjuncts:
+            if isinstance(c, b.BSubquery) and c.kind == "in":
+                in_subs.append(c)
+            else:
+                for sq in _subqueries_in(c):
+                    sq.plan = push_filters(sq.plan)
+                rest.append(c)
+        child, remaining = _push_conjuncts(child, rest)
+        for c in in_subs:
+            sub = push_filters(c.plan)
+            jt = "anti" if c.negated else "semi"
+            node = b.LogicalJoin(
+                names=list(child.names), types=list(child.types),
+                left=child, right=sub, join_type=jt,
+                conditions=[(c.operand, b.BColumn(sub.types[0], 0))],
+            )
+            node.dicts = getattr(child, "dicts", [None] * len(child.names))
+            child = node
         if not remaining:
             return child
         cond = remaining[0]
@@ -91,7 +120,7 @@ def _push_one(node: b.LogicalOp, conj: b.BExpr) -> bool:
         n_left = len(node.left.names)
         idxs = [c.index for c in _cols(conj)]
         if idxs and all(i < n_left for i in idxs):
-            if node.join_type in ("inner", "cross"):
+            if node.join_type in ("inner", "cross", "semi", "anti"):
                 # left-side-only predicates sink into the left input; for
                 # LEFT joins they'd filter preserved rows, so don't push
                 return _push_one(node.left, conj)
@@ -130,6 +159,10 @@ def _push_one(node: b.LogicalOp, conj: b.BExpr) -> bool:
             return True
         return False
     return False
+
+
+def _subqueries_in(e: b.BExpr):
+    return [x for x in b.expr_walk(e) if isinstance(x, b.BSubquery)]
 
 
 def _side_of(e: b.BExpr, n_left: int):
@@ -283,7 +316,7 @@ def prune_columns(op: b.LogicalOp, required: Optional[Set[int]] = None) -> b.Log
         return op
     if isinstance(op, b.LogicalJoin):
         n_left = len(op.left.names)
-        n_right = len(op.names) - n_left
+        n_right = len(op.right.names)
         if required is None:
             required = set(range(len(op.names)))
         used_l = {i for i in required if i < n_left}

@@ -307,3 +307,24 @@ def test_errors():
     with pytest.raises(Exception):
         con.query("CREATE TABLE e(i INTEGER)")
     con.query("CREATE TABLE IF NOT EXISTS e(i INTEGER)")
+
+
+# ---------------- subqueries ----------------
+
+def test_scalar_subquery(engines):
+    check(engines, "SELECT count(*) FROM t WHERE a > (SELECT avg(a) FROM t)")
+
+def test_in_subquery_semi_join(engines):
+    check(engines, "SELECT count(*) FROM t WHERE a IN (SELECT k FROM u)")
+
+def test_not_in_subquery_anti_join(engines):
+    check(engines,
+          "SELECT count(*) FROM t WHERE a < 100 AND a NOT IN (SELECT k FROM u)")
+
+def test_exists_uncorrelated(engines):
+    check(engines, "SELECT count(*) FROM t WHERE EXISTS (SELECT 1 FROM u WHERE k = 700)")
+    check(engines, "SELECT count(*) FROM t WHERE NOT EXISTS (SELECT 1 FROM u WHERE k = 701)")
+
+def test_in_subquery_in_or_context(engines):
+    check(engines,
+          "SELECT count(*) FROM t WHERE a = 999 OR a IN (SELECT k FROM u WHERE k < 5)")
