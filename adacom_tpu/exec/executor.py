@@ -506,25 +506,26 @@ class Executor:
     def _agg_specs(self, node: b.LogicalAggregate):
         """Flatten BoundAggregates into primitive partial specs.
 
-        Returns (specs, finishers): specs = [(kind, arg_expr|None, acc_dtype)],
-        finishers map primitive partial values -> final aggregate values."""
-        specs: List[Tuple[str, Optional[b.BExpr], Any]] = []
+        Returns (specs, finishers): specs = [(kind, arg_expr|None, acc_dtype,
+        distinct)], finishers map primitive partial values -> final
+        aggregate values."""
+        specs: List[Tuple[str, Optional[b.BExpr], Any, bool]] = []
         finishers = []
         for a in node.aggregates:
             if a.func == "count_star":
                 si = len(specs)
-                specs.append(("count", None, np.int64))
+                specs.append(("count", None, np.int64, False))
                 finishers.append(lambda p, si=si: p[si])
             elif a.func == "count":
                 si = len(specs)
-                specs.append(("count_arg", a.arg, np.int64))
+                specs.append(("count_arg", a.arg, np.int64, a.distinct))
                 finishers.append(lambda p, si=si: p[si])
             elif a.func == "sum":
                 acc = np.float64 if a.ty.is_float else np.int64
                 si = len(specs)
-                specs.append(("sum", a.arg, acc))
+                specs.append(("sum", a.arg, acc, a.distinct))
                 ci = len(specs)
-                specs.append(("count_arg", a.arg, np.int64))
+                specs.append(("count_arg", a.arg, np.int64, a.distinct))
                 # grouped: groups with zero non-null args keep sum 0 (SQL
                 # NULL-sum for all-null groups is a TODO with valid masks)
                 finishers.append(
@@ -533,9 +534,9 @@ class Executor:
                 )
             elif a.func == "avg":
                 si = len(specs)
-                specs.append(("sum", a.arg, np.float64))
+                specs.append(("sum", a.arg, np.float64, a.distinct))
                 ci = len(specs)
-                specs.append(("count_arg", a.arg, np.int64))
+                specs.append(("count_arg", a.arg, np.int64, a.distinct))
                 scale = 10.0 ** a.arg.ty.scale if a.arg.ty.name == "DECIMAL" else 1.0
 
                 def fin(p, si=si, ci=ci, scale=scale):
@@ -549,9 +550,9 @@ class Executor:
                 dt = compute_dtype_of(a.arg.ty)
                 acc = np.float64 if np.dtype(dt).kind == "f" else np.int64
                 si = len(specs)
-                specs.append((a.func, a.arg, acc))
+                specs.append((a.func, a.arg, acc, False))
                 ci = len(specs)
-                specs.append(("count_arg", a.arg, np.int64))
+                specs.append(("count_arg", a.arg, np.int64, a.distinct))
 
                 def fin(p, si=si, ci=ci):
                     cnt = p[ci]
@@ -561,11 +562,11 @@ class Executor:
                 finishers.append(fin)
             elif a.func in ("stddev", "stddev_samp", "var_samp", "variance"):
                 si = len(specs)
-                specs.append(("sum", a.arg, np.float64))
+                specs.append(("sum", a.arg, np.float64, a.distinct))
                 qi = len(specs)
-                specs.append(("sumsq", a.arg, np.float64))
+                specs.append(("sumsq", a.arg, np.float64, a.distinct))
                 ci = len(specs)
-                specs.append(("count_arg", a.arg, np.int64))
+                specs.append(("count_arg", a.arg, np.int64, a.distinct))
                 is_std = a.func in ("stddev", "stddev_samp")
 
                 def fin(p, si=si, qi=qi, ci=ci, is_std=is_std):
@@ -582,7 +583,7 @@ class Executor:
                 finishers.append(fin)
             elif a.func == "first":
                 si = len(specs)
-                specs.append(("min", a.arg, np.int64))  # deterministic pick
+                specs.append(("min", a.arg, np.int64, False))  # deterministic pick
                 finishers.append(lambda p, si=si: p[si])
             else:
                 raise ExecError(f"aggregate {a.func}")
@@ -629,7 +630,8 @@ class Executor:
         specs, finishers = self._agg_specs(node)
         grouped = bool(node.groups)
         dense = self._group_domain(node, get) if grouped else None
-        if grouped and dense is None:
+        if (grouped and dense is None) or any(d for *_x, d in specs):
+            # non-dense domains and DISTINCT aggregates take the host tier
             mat = self._materialize_scan(get, lits)
             return self._aggregate_host(node, mat, lits)
 
@@ -637,12 +639,12 @@ class Executor:
         comp = ExprCompiler()
         group_fns = [comp._c(g) for g in node.groups]
         arg_fns = {}
-        for kind, arg, acc in specs:
+        for kind, arg, acc, _d in specs:
             if arg is not None and id(arg) not in arg_fns:
                 arg_fns[id(arg)] = comp._c(arg)
         spec_entries = [
             (kind, None if arg is None else arg_fns[id(arg)], acc)
-            for kind, arg, acc in specs
+            for kind, arg, acc, _d in specs
         ]
         params = tuple(p(lits) for p in comp.preps)
 
@@ -808,7 +810,7 @@ class Executor:
         # consumption order below)
         arg_exprs = []
         seen_ids = set()
-        for _, a, _ in specs:
+        for _, a, _, _d in specs:
             if a is not None and id(a) not in seen_ids:
                 seen_ids.add(id(a))
                 arg_exprs.append(a)
@@ -823,7 +825,7 @@ class Executor:
             gvals.append((arr, None if m is None else np.asarray(m)))
         arg_map = {}
         k = len(node.groups)
-        for kind, a, acc in specs:
+        for kind, a, acc, _d in specs:
             if a is not None and id(a) not in arg_map:
                 v, m = outs[k]
                 arr = np.asarray(v)
@@ -842,11 +844,16 @@ class Executor:
             n_groups = 1
 
         prim = []
-        for kind, a, acc in specs:
+        for kind, a, acc, distinct in specs:
             if kind == "count":
                 prim.append(np.bincount(gid, minlength=n_groups).astype(np.int64))
                 continue
             vals, valid = arg_map[id(a)] if a is not None else (None, None)
+            if distinct and kind in ("count_arg", "sum", "sumsq"):
+                # keep only the first occurrence of each (group, value) pair
+                first = np.zeros(n, dtype=bool)
+                first[_unique_row_indices([gid, vals])] = True
+                valid = first if valid is None else (first & valid)
             if kind == "count_arg":
                 w = np.ones(n) if valid is None else valid.astype(np.float64)
                 prim.append(np.bincount(gid, weights=w, minlength=n_groups).astype(np.int64))
@@ -912,7 +919,12 @@ class Executor:
                     rk = np.where(np.asarray(rm), rk, _null_key(rk.dtype))
                 lkeys.append(lk)
                 rkeys.append(rk)
-            li, _ = _hash_join_pairs(lkeys, rkeys)
+            li, ri = _hash_join_pairs(lkeys, rkeys)
+            if node.residual is not None:
+                # a left row matches iff SOME key-equal right row also passes
+                # the residual (decorrelated EXISTS with non-equi conjuncts)
+                ok = self._residual_mask(node, left, right, li, ri, lits)
+                li = li[ok]
             matched = np.zeros(left.nrows, dtype=bool)
             matched[li] = True
             keep = np.nonzero(matched if jt == "semi" else ~matched)[0]
@@ -940,6 +952,15 @@ class Executor:
                 lkeys.append(lk)
                 rkeys.append(rk)
             li, ri = _hash_join_pairs(lkeys, rkeys)
+
+        if node.residual is not None:
+            # apply the residual to the matched pairs BEFORE computing the
+            # preserved (unmatched) rows: a LEFT JOIN .. ON k AND p keeps
+            # left rows whose matches all fail p, with NULL right columns
+            # (reference: comparison-+-residual handling in
+            # src/execution/operator/join/physical_hash_join.cpp)
+            ok = self._residual_mask(node, left, right, li, ri, lits)
+            li, ri = li[ok], ri[ok]
 
         if jt in ("left", "full"):
             matched = np.zeros(left.nrows, dtype=bool)
@@ -993,20 +1014,30 @@ class Executor:
                 for v, fv in zip(rvalids, right.valids)
             ]
 
-        mat = Mat(
+        return Mat(
             list(node.names), list(node.types),
             getattr(node, "dicts", [None] * len(node.names)),
             lcols + rcols, lvalids + rvalids,
         )
-        if node.residual is not None:
-            (v, m), = self._eval_on_mat([node.residual], mat, lits)
-            mask = np.asarray(v)
-            if m is not None:
-                mask = mask & np.asarray(m)
-            if mask.ndim == 0:
-                mask = np.full(mat.nrows, bool(mask))
-            mat = mat.take(np.nonzero(mask)[0])
-        return mat
+
+    def _residual_mask(self, node, left: Mat, right: Mat, li, ri, lits):
+        """Evaluate the join residual over candidate pairs (li, ri); returns
+        a boolean keep-mask (NULL -> False)."""
+        pair = Mat(
+            list(left.names) + list(right.names),
+            list(left.types) + list(right.types),
+            list(left.dicts) + list(right.dicts),
+            [c[li] for c in left.cols] + [c[ri] for c in right.cols],
+            [None if v is None else v[li] for v in left.valids]
+            + [None if v is None else v[ri] for v in right.valids],
+        )
+        (v, m), = self._eval_on_mat([node.residual], pair, lits)
+        mask = np.asarray(v)
+        if mask.ndim == 0:
+            mask = np.full(len(li), bool(mask))
+        if m is not None:
+            mask = mask & np.asarray(m)
+        return mask.astype(bool)
 
     # ==================================================================
     # order / limit / distinct / set ops

@@ -221,6 +221,18 @@ class ExprCompiler:
         if isinstance(e, b.BDictPredicate):
             return self._c_dict_predicate(e)
 
+        if isinstance(e, b.BDictMap):
+            # string fn evaluated over the dictionary at bind time: runtime
+            # is just an old-code -> new-code LUT gather
+            cf = self._c(e.operand)
+            lut = np.asarray(e.lut, dtype=np.uint32)
+
+            def fn(cols, args):
+                v, m = cf(cols, args)
+                t = jnp.asarray(lut)
+                return t[jnp.minimum(v, t.shape[0] - 1)], m
+            return fn
+
         if isinstance(e, b.BFunc):
             return self._c_func(e)
 

@@ -96,19 +96,26 @@ AGG_FUNCS = {"count", "sum", "avg", "min", "max", "first", "any_value",
 
 
 class Binder:
-    def __init__(self, catalog, config, cte_plans: Optional[Dict[str, b.LogicalOp]] = None):
+    def __init__(self, catalog, config, cte_plans: Optional[Dict[str, ast.SelectStmt]] = None,
+                 outer_scope: Optional[Scope] = None):
         self.catalog = catalog
         self.config = config
+        # CTEs are kept as ASTs and re-bound per reference so two uses of the
+        # same CTE never share (and never co-mutate) one plan subtree
         self.cte_plans = dict(cte_plans or {})
         # literal slots whose values were baked into the plan (must join the
         # plan-cache key; see sql/parser.parse docstring)
         self.structural: set = set()
+        # enclosing query's FROM scope (set for subquery binders); names that
+        # fail inner resolution bind as correlated BOuterCol references
+        self.outer_scope = outer_scope
+        self.uses_outer = False
 
     # ================= statements =================
     def bind_select(self, stmt: ast.SelectStmt) -> b.LogicalOp:
         if stmt.ctes:
             for name, sub in stmt.ctes:
-                self.cte_plans[name.lower()] = self.bind_select(sub)
+                self.cte_plans[name.lower()] = sub
         plan = self._bind_select_core(stmt)
         if stmt.set_ops:
             for op, all_, rhs in stmt.set_ops:
@@ -371,6 +378,10 @@ class Binder:
                 return b.BCase(ty, whens, el)
             if isinstance(e, ast.Literal):
                 return self._bind_literal(e)
+            if isinstance(e, (ast.ScalarSubquery, ast.Exists, ast.InSubquery)):
+                # e.g. HAVING sum(x) > (SELECT ...): the subquery binds as a
+                # plain expression (its own binder handles internal aggs)
+                return self.bind_expr(e, scope)
             if be_try is not None:
                 # plain column not in GROUP BY
                 raise BindError(
@@ -446,7 +457,10 @@ class Binder:
             key = ref.name.lower()
             alias = ref.alias or ref.name
             if key in self.cte_plans:
-                plan = self.cte_plans[key]
+                # re-bind the CTE body per reference: no shared plan subtrees
+                sub = Binder(self.catalog, self.config, self.cte_plans)
+                plan = sub.bind_select(self.cte_plans[key])
+                self.structural |= sub.structural
                 return plan, Scope.from_op(plan, alias)
             view_sql = self.catalog.get_view(key)
             if view_sql is not None:
@@ -544,7 +558,14 @@ class Binder:
         if isinstance(e, ast.Literal):
             return self._bind_literal(e)
         if isinstance(e, ast.ColumnRef):
-            i, ty, d = scope.resolve(e.name, e.table)
+            try:
+                i, ty, d = scope.resolve(e.name, e.table)
+            except BindError:
+                if self.outer_scope is None:
+                    raise
+                i, ty, d = self.outer_scope.resolve(e.name, e.table)
+                self.uses_outer = True
+                return b.BOuterCol(ty, i, e.name, d)
             return b.BColumn(ty, i, e.name, d)
         if isinstance(e, ast.BinaryOp):
             l = self.bind_expr(e.left, scope)
@@ -604,29 +625,33 @@ class Binder:
             args = [self.bind_expr(a, scope) for a in e.args]
             return self._bind_scalar_func(e.name, args)
         if isinstance(e, ast.ScalarSubquery):
-            plan = self._bind_subplan(e.subquery)
+            plan, corr = self._bind_subplan(e.subquery, scope)
             if len(plan.types) != 1:
                 raise BindError("scalar subquery must return one column")
-            return b.BSubquery(plan.types[0], plan=plan, kind="scalar")
+            return b.BSubquery(plan.types[0], plan=plan, kind="scalar",
+                               correlated=corr)
         if isinstance(e, ast.Exists):
-            plan = self._bind_subplan(e.subquery)
-            return b.BSubquery(tt.BOOLEAN, plan=plan, kind="exists", negated=e.negated)
+            plan, corr = self._bind_subplan(e.subquery, scope)
+            return b.BSubquery(tt.BOOLEAN, plan=plan, kind="exists",
+                               negated=e.negated, correlated=corr)
         if isinstance(e, ast.InSubquery):
             operand = self.bind_expr(e.operand, scope)
-            plan = self._bind_subplan(e.subquery)
+            plan, corr = self._bind_subplan(e.subquery, scope)
             if len(plan.types) != 1:
                 raise BindError("IN subquery must return one column")
             return b.BSubquery(tt.BOOLEAN, plan=plan, kind="in",
-                               operand=operand, negated=e.negated)
+                               operand=operand, negated=e.negated,
+                               correlated=corr)
         raise BindError(f"cannot bind {e}")
 
-    def _bind_subplan(self, stmt: ast.SelectStmt) -> b.LogicalOp:
-        """Bind an uncorrelated subquery (no outer scope; a correlated
-        column reference raises — decorrelation is a later milestone)."""
-        sub = Binder(self.catalog, self.config, self.cte_plans)
+    def _bind_subplan(self, stmt: ast.SelectStmt, outer: Scope):
+        """Bind a subquery; `outer` is the enclosing FROM scope. Column names
+        that fail inner resolution bind against it as BOuterCol references;
+        returns (plan, correlated?)."""
+        sub = Binder(self.catalog, self.config, self.cte_plans, outer_scope=outer)
         plan = sub.bind_select(stmt)
         self.structural |= sub.structural
-        return plan
+        return plan, sub.uses_outer
 
     def _bind_literal(self, e: ast.Literal) -> b.BLiteral:
         v = e.value
@@ -684,13 +709,90 @@ class Binder:
             return b.BFunc(tt.BIGINT, "length", args)
         if name in ("lower", "upper", "substring", "substr", "trim", "ltrim",
                     "rtrim", "concat"):
-            return b.BFunc(tt.VARCHAR, name if name != "substr" else "substring", args)
+            return self._bind_string_func(
+                name if name != "substr" else "substring", args)
         if name == "date_part":
             # date_part('year', d)
             part = args[0]
             if isinstance(part, b.BLiteral):
                 return b.BFunc(tt.BIGINT, "extract_" + str(part.value).lower(), [args[1]])
         raise BindError(f"unknown function {name}")
+
+    def _bind_string_func(self, name: str, args: List[b.BExpr]) -> b.BExpr:
+        """String scalar functions evaluate over the DICTIONARY at bind time
+        (codes never leave the device; the runtime gathers a code->code LUT).
+        Constant-folds when every argument is a literal."""
+        import numpy as np
+
+        def str_of(a):
+            if isinstance(a, b.BLiteral):
+                if a.param is not None:
+                    # value baked into the derived dictionary -> structural
+                    self.structural.add(a.param)
+                return str(a.value)
+            raise BindError(f"{name}: argument must be a literal or a VARCHAR column")
+
+        def apply(s: str, params: List[b.BExpr]) -> str:
+            if name == "lower":
+                return s.lower()
+            if name == "upper":
+                return s.upper()
+            if name == "trim":
+                return s.strip()
+            if name == "ltrim":
+                return s.lstrip()
+            if name == "rtrim":
+                return s.rstrip()
+            if name == "substring":
+                start = int(_lit_num(params[0], self, name))
+                ln = int(_lit_num(params[1], self, name)) if len(params) > 1 else None
+                i0 = max(0, start - 1)
+                return s[i0:] if ln is None else s[i0:i0 + ln]
+            raise BindError(f"unsupported string function {name}")
+
+        if name == "concat":
+            parts = []
+            col = None
+            col_pos = -1
+            for i, a in enumerate(args):
+                d = self._expr_dict(a)
+                if d is not None:
+                    if col is not None:
+                        raise BindError("concat supports one VARCHAR column")
+                    col, col_pos = a, i
+                    parts.append(None)
+                else:
+                    parts.append(str_of(a))
+            if col is None:
+                return b.BLiteral(tt.VARCHAR, "".join(parts))
+            pre = "".join(p for p in parts[:col_pos] if p is not None)
+            post = "".join(p for p in parts[col_pos + 1:] if p is not None)
+            return self._derive_dict(col, lambda s: pre + s + post)
+
+        base = args[0]
+        d = self._expr_dict(base)
+        if d is None:
+            # pure literal fold
+            return b.BLiteral(tt.VARCHAR, apply(str_of(base), args[1:]))
+        return self._derive_dict(base, lambda s: apply(s, args[1:]))
+
+    def _derive_dict(self, operand: b.BExpr, fn) -> b.BExpr:
+        """Map a dict-encoded column through a per-string function: build the
+        derived dictionary + old->new code LUT at bind time."""
+        import numpy as np
+
+        from adacom_tpu.storage.table import StringDictionary
+
+        src = self._expr_dict(operand)
+        out = StringDictionary()
+        strs = src.strings_array()
+        lut = np.empty(max(1, len(strs)), dtype=np.uint32)
+        if len(strs) == 0:
+            lut[0] = 0
+            out.encode_one("")
+        for i, s in enumerate(strs):
+            lut[i] = out.encode_one(fn(str(s)))
+        return b.BDictMap(tt.VARCHAR, operand, lut, out)
 
     def _type_binary(self, op: str, l: b.BExpr, r: b.BExpr) -> b.BExpr:
         if op in ("and", "or"):
@@ -759,7 +861,7 @@ class Binder:
         return "expr"
 
     def _expr_dict(self, e: b.BExpr):
-        if isinstance(e, b.BColumn):
+        if isinstance(e, (b.BColumn, b.BDictMap, b.BOuterCol)):
             return e.dictionary
         if isinstance(e, b.BCase):
             for _, v in e.whens:
@@ -772,6 +874,16 @@ class Binder:
                 if d is not None:
                     return d
         return None
+
+
+def _lit_num(e: b.BExpr, binder: "Binder", fname: str):
+    """Numeric literal argument of a bind-time-evaluated function; its value
+    shapes the plan, so its literal slot becomes structural."""
+    if isinstance(e, b.BLiteral) and isinstance(e.value, (int, float)):
+        if e.param is not None:
+            binder.structural.add(e.param)
+        return e.value
+    raise BindError(f"{fname}: expected a numeric literal argument")
 
 
 def _strip_literal_params(node) -> None:
@@ -818,4 +930,10 @@ def _bexpr_eq(a: b.BExpr, x: b.BExpr, slots: list | None = None) -> bool:
         return a.name == x.name and len(a.args) == len(x.args) and all(
             _bexpr_eq(p, q, slots) for p, q in zip(a.args, x.args)
         )
+    if isinstance(a, b.BDictMap):
+        import numpy as np
+
+        return _bexpr_eq(a.operand, x.operand, slots) and \
+            np.array_equal(a.lut, x.lut) and \
+            list(a.dictionary.strings_array()) == list(x.dictionary.strings_array())
     return False

@@ -88,20 +88,48 @@ class BDictPredicate(BExpr):
 
 
 @D
+class BOuterCol(BExpr):
+    """Correlated reference to a column of the ENCLOSING query's FROM scope,
+    appearing inside a subquery plan. Decorrelation (sql/optimizer.py)
+    rewrites every BOuterCol into a join-side BColumn; none survive into an
+    executable plan (reference: correlated-column tracking in
+    src/planner/binder/expression/bind_columnref_expression.cpp +
+    src/planner/subquery/flatten_dependent_join.cpp)."""
+    index: int  # position in the outer FROM schema at the subquery bind site
+    name: str = ""
+    dictionary: Any = None
+
+
+@D
+class BDictMap(BExpr):
+    """String scalar function over a dictionary-encoded column, evaluated at
+    bind time over the dictionary (substring/lower/upper/trim/concat...):
+    at runtime just a code->code LUT gather; `dictionary` is the derived
+    output StringDictionary (reference: dictionary short-circuiting in
+    src/execution/expression_executor.cpp + string function family in
+    src/function/scalar/string/*)."""
+    operand: BExpr  # uint32 dict codes
+    lut: Any = None  # np.ndarray: old code -> new code
+    dictionary: Any = None  # derived StringDictionary
+
+
+@D
 class BSubquery(BExpr):
-    """Uncorrelated subquery expression.
+    """Subquery expression.
 
     kind='scalar' -> first row/col value; 'exists' -> row_count > 0;
     'in' -> membership of `operand` in the subplan's first column (rewritten
-    to a semi/anti join by the optimizer). The executor evaluates the
-    subplan per execution and stores the result in `cached_value` before
-    compiled expressions run (reference: uncorrelated flattening in
-    src/planner/subquery/flatten_dependent_join.cpp's trivial case)."""
+    to a semi/anti join by the optimizer). Uncorrelated scalar/exists
+    subqueries are evaluated per execution by the executor, which stores the
+    result in `cached_value` before compiled expressions run. `correlated`
+    subplans contain BOuterCol references and are decorrelated into joins by
+    the optimizer (reference: flatten_dependent_join.cpp)."""
     plan: Any = None  # LogicalOp
     kind: str = "scalar"
     operand: Optional[BExpr] = None
     negated: bool = False
     cached_value: Any = None
+    correlated: bool = False
 
 
 @D

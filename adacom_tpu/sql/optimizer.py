@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Set
 
 from adacom_tpu import types as tt
 from adacom_tpu.sql import bound as b
-from adacom_tpu.sql.binder import _split_conjuncts
+from adacom_tpu.sql.binder import _bexpr_eq, _split_conjuncts
 
 
 def optimize(plan: b.LogicalOp, structural: Optional[set] = None) -> b.LogicalOp:
@@ -43,20 +43,40 @@ def push_filters(op: b.LogicalOp) -> b.LogicalOp:
     if isinstance(op, b.LogicalFilter):
         child = push_filters(op.child)
         conjuncts = _split_conjuncts(op.condition)
-        # separate IN (subquery) conjuncts; they become semi/anti joins
-        # AFTER the plain conjuncts have sunk (so join-condition lifting in
-        # cross-join chains happens below, not above, the semi join)
-        # (reference: src/planner/binder/query_node/plan_subquery.cpp)
-        in_subs = []
+        # separate subquery conjuncts; they become joins AFTER the plain
+        # conjuncts have sunk (so join-condition lifting in cross-join
+        # chains happens below, not above, the semi join)
+        # (reference: src/planner/binder/query_node/plan_subquery.cpp,
+        #  src/planner/subquery/flatten_dependent_join.cpp)
+        in_subs = []        # uncorrelated IN (sub)
+        corr_semis = []     # correlated EXISTS / IN -> semi/anti join
+        scalar_corrs = []   # (conjunct, correlated scalar-agg subquery)
         rest = []
         for c in conjuncts:
-            if isinstance(c, b.BSubquery) and c.kind == "in":
+            # unwrap NOT around EXISTS/IN into the subquery's negated flag
+            if isinstance(c, b.BUnary) and c.op == "not" and \
+                    isinstance(c.operand, b.BSubquery) and \
+                    c.operand.kind in ("exists", "in"):
+                c = c.operand
+                c.negated = not c.negated
+            sqs = _subqueries_in(c)
+            corr = [s for s in sqs if s.correlated]
+            if corr:
+                if isinstance(c, b.BSubquery) and c.kind in ("exists", "in"):
+                    corr_semis.append(c)
+                elif len(corr) == 1 and corr[0].kind == "scalar":
+                    scalar_corrs.append((c, corr[0]))
+                else:
+                    raise DecorrelateError(
+                        "unsupported correlated subquery shape in WHERE")
+            elif isinstance(c, b.BSubquery) and c.kind == "in":
                 in_subs.append(c)
             else:
-                for sq in _subqueries_in(c):
+                for sq in sqs:
                     sq.plan = push_filters(sq.plan)
                 rest.append(c)
         child, remaining = _push_conjuncts(child, rest)
+        n_orig = len(child.names)
         for c in in_subs:
             sub = push_filters(c.plan)
             jt = "anti" if c.negated else "semi"
@@ -67,14 +87,22 @@ def push_filters(op: b.LogicalOp) -> b.LogicalOp:
             )
             node.dicts = getattr(child, "dicts", [None] * len(child.names))
             child = node
+        for c in corr_semis:
+            child = _plan_correlated_semi(child, c)
+        for conj, sq in scalar_corrs:
+            child, scalar_idx = _plan_correlated_scalar(child, sq)
+            col = b.BColumn(sq.ty, scalar_idx)
+            remaining.append(_transform_expr(
+                conj, lambda e: col if e is sq else None))
         if not remaining:
-            return child
+            return child if not scalar_corrs else _project_prefix(child, n_orig)
         cond = remaining[0]
         for c in remaining[1:]:
             cond = b.BBinary(tt.BOOLEAN, "and", cond, c)
-        op.child = child
-        op.condition = cond
-        return op
+        node = b.LogicalFilter(names=list(child.names), types=list(child.types),
+                               child=child, condition=cond)
+        node.dicts = getattr(child, "dicts", [None] * len(child.names))
+        return node if not scalar_corrs else _project_prefix(node, n_orig)
     for f in dataclasses.fields(op):
         v = getattr(op, f.name)
         if isinstance(v, b.LogicalOp):
@@ -163,6 +191,216 @@ def _push_one(node: b.LogicalOp, conj: b.BExpr) -> bool:
 
 def _subqueries_in(e: b.BExpr):
     return [x for x in b.expr_walk(e) if isinstance(x, b.BSubquery)]
+
+
+# ---------------- correlated-subquery decorrelation ----------------
+# (reference: src/planner/subquery/flatten_dependent_join.cpp — the TPU
+# build decorrelates the shapes TPC-H exercises: correlated EXISTS / IN ->
+# semi/anti join with equi conditions + residual; `expr CMP (correlated
+# aggregate)` -> grouped aggregate + inner join + post-filter)
+
+
+class DecorrelateError(Exception):
+    pass
+
+
+def _has_outer(e: b.BExpr) -> bool:
+    return any(isinstance(x, b.BOuterCol) for x in b.expr_walk(e))
+
+
+def _conjoin(cs: List[b.BExpr]) -> b.BExpr:
+    cond = cs[0]
+    for c in cs[1:]:
+        cond = b.BBinary(tt.BOOLEAN, "and", cond, c)
+    return cond
+
+
+def _transform_expr(e: b.BExpr, fn) -> b.BExpr:
+    """Rebuild `e` bottom-up; fn(node) may return a replacement node."""
+    r = fn(e)
+    if r is not None:
+        return r
+    kwargs = {}
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, b.BExpr):
+            v = _transform_expr(v, fn)
+        elif isinstance(v, list):
+            v = [
+                _transform_expr(x, fn) if isinstance(x, b.BExpr)
+                else tuple(_transform_expr(y, fn) if isinstance(y, b.BExpr) else y
+                           for y in x)
+                if isinstance(x, tuple) else x
+                for x in v
+            ]
+        kwargs[f.name] = v
+    out = type(e)(**kwargs)
+    if getattr(e, "is_interval", False):
+        out.is_interval = True
+    return out
+
+
+def _outer_to_col(e: b.BExpr) -> b.BExpr:
+    """BOuterCol -> BColumn over the outer (join-left) schema."""
+    return _transform_expr(
+        e, lambda x: b.BColumn(x.ty, x.index, x.name, x.dictionary)
+        if isinstance(x, b.BOuterCol) else None)
+
+
+def _split_corr_filter(node: b.LogicalOp):
+    """Strip correlated conjuncts from the LogicalFilter directly above the
+    subquery's FROM tree. Returns (plan', corr_conjuncts over FROM schema)."""
+    if not isinstance(node, b.LogicalFilter):
+        if any(_has_outer(e) for n in b.walk(node) for e in b.iter_node_exprs(n)):
+            raise DecorrelateError(
+                "correlated reference outside the subquery's top-level WHERE")
+        return node, []
+    conjs = _split_conjuncts(node.condition)
+    corr = [c for c in conjs if _has_outer(c)]
+    keep = [c for c in conjs if not _has_outer(c)]
+    if any(_has_outer(e) for n in b.walk(node.child) for e in b.iter_node_exprs(n)):
+        raise DecorrelateError(
+            "correlated reference below the subquery's top-level WHERE")
+    if keep:
+        node.condition = _conjoin(keep)
+        return node, corr
+    return node.child, corr
+
+
+def _classify_corr(corr: List[b.BExpr]):
+    """Split correlated conjuncts into equi pairs (pure-outer expr = pure-
+    inner expr) and residuals (mix of both sides)."""
+    pairs, residuals = [], []
+    for c in corr:
+        if isinstance(c, b.BBinary) and c.op == "=":
+            for o, i in ((c.left, c.right), (c.right, c.left)):
+                o_out = any(isinstance(x, b.BOuterCol) for x in b.expr_walk(o))
+                o_in = any(isinstance(x, b.BColumn) for x in b.expr_walk(o))
+                i_out = any(isinstance(x, b.BOuterCol) for x in b.expr_walk(i))
+                i_in = any(isinstance(x, b.BColumn) for x in b.expr_walk(i))
+                if o_out and not o_in and i_in and not i_out:
+                    pairs.append((_outer_to_col(o), i))
+                    break
+            else:
+                residuals.append(c)
+        else:
+            residuals.append(c)
+    return pairs, residuals
+
+
+def _ensure_proj_output(proj: b.LogicalProject, e: b.BExpr, name: str) -> int:
+    """Index of a projection output computing `e`; appends one if missing."""
+    for i, pe in enumerate(proj.exprs):
+        if _bexpr_eq(pe, e):
+            return i
+    proj.exprs.append(e)
+    proj.names.append(name or f"__corr_{len(proj.exprs)}")
+    proj.types.append(e.ty)
+    proj.dicts = getattr(proj, "dicts", [None] * (len(proj.exprs) - 1))
+    proj.dicts.append(e.dictionary if isinstance(e, b.BColumn) else None)
+    return len(proj.exprs) - 1
+
+
+def _plan_correlated_semi(child: b.LogicalOp, c: b.BSubquery) -> b.LogicalOp:
+    """Correlated EXISTS / IN (subquery) -> semi (or anti) join."""
+    sub = c.plan
+    if not isinstance(sub, b.LogicalProject):
+        raise DecorrelateError("correlated subquery must be a plain SELECT")
+    inner, corr = _split_corr_filter(sub.child)
+    sub.child = inner
+    if not corr:
+        raise DecorrelateError("correlated subquery with no correlated WHERE")
+    pairs, residuals = _classify_corr(corr)
+    conditions = []
+    if c.kind == "in":
+        conditions.append((c.operand, b.BColumn(sub.types[0], 0)))
+    for o, i in pairs:
+        idx = _ensure_proj_output(sub, i, getattr(i, "name", ""))
+        conditions.append((o, b.BColumn(i.ty, idx)))
+    residual = None
+    if residuals:
+        n_left = len(child.names)
+
+        def fix(x):
+            if isinstance(x, b.BOuterCol):
+                return b.BColumn(x.ty, x.index, x.name, x.dictionary)
+            if isinstance(x, b.BColumn):
+                idx = _ensure_proj_output(sub, x, x.name)
+                return b.BColumn(x.ty, n_left + idx, x.name, x.dictionary)
+            return None
+
+        residual = _conjoin([_transform_expr(r, fix) for r in residuals])
+    sub_p = push_filters(sub)
+    node = b.LogicalJoin(
+        names=list(child.names), types=list(child.types),
+        left=child, right=sub_p,
+        join_type="anti" if c.negated else "semi",
+        conditions=conditions, residual=residual,
+    )
+    node.dicts = getattr(child, "dicts", [None] * len(child.names))
+    return node
+
+
+def _plan_correlated_scalar(child: b.LogicalOp, sq: b.BSubquery):
+    """`expr CMP (SELECT agg(..) FROM .. WHERE inner = outer ..)` ->
+    grouped aggregate joined on the correlation keys. Returns
+    (join_plan, index of the scalar column in the join output)."""
+    sub = sq.plan
+    if not (isinstance(sub, b.LogicalProject)
+            and isinstance(sub.child, b.LogicalAggregate)
+            and not sub.child.groups):
+        raise DecorrelateError(
+            "correlated scalar subquery must be a single ungrouped aggregate")
+    agg = sub.child
+    inner, corr = _split_corr_filter(agg.child)
+    agg.child = inner
+    pairs, residuals = _classify_corr(corr)
+    if residuals or not pairs:
+        raise DecorrelateError(
+            "correlated scalar subquery requires pure equality correlation")
+    G = len(pairs)
+    agg.groups = [i for _, i in pairs]
+    agg.names = [getattr(i, "name", f"g{k}") for k, (_, i) in enumerate(pairs)] + list(agg.names)
+    agg.types = [i.ty for _, i in pairs] + list(agg.types)
+    agg.dicts = [i.dictionary if isinstance(i, b.BColumn) else None
+                 for _, i in pairs] + list(getattr(agg, "dicts", [None] * len(agg.aggregates)))
+    # shift aggregate references in the projection past the new group columns
+    sub.exprs = [
+        _transform_expr(e, lambda x: b.BAggRef(x.ty, x.index + G)
+                        if isinstance(x, b.BAggRef) else None)
+        for e in sub.exprs
+    ]
+    # expose the group keys as projection outputs for the join conditions
+    for k in range(G):
+        sub.exprs.append(b.BColumn(agg.types[k], k, agg.names[k], agg.dicts[k]))
+        sub.names.append(agg.names[k])
+        sub.types.append(agg.types[k])
+        sub.dicts = getattr(sub, "dicts", [None]) + [agg.dicts[k]]
+    sub_p = push_filters(sub)
+    n_left = len(child.names)
+    conditions = [(o, b.BColumn(sub_p.types[1 + k], 1 + k))
+                  for k, (o, _) in enumerate(pairs)]
+    node = b.LogicalJoin(
+        names=list(child.names) + list(sub_p.names),
+        types=list(child.types) + list(sub_p.types),
+        left=child, right=sub_p, join_type="inner",
+        conditions=conditions,
+    )
+    node.dicts = (getattr(child, "dicts", [None] * len(child.names))
+                  + getattr(sub_p, "dicts", [None] * len(sub_p.names)))
+    return node, n_left
+
+
+def _project_prefix(plan: b.LogicalOp, n: int) -> b.LogicalOp:
+    """Keep only the first n output columns (drops decorrelation columns)."""
+    dicts = getattr(plan, "dicts", [None] * len(plan.names))
+    exprs = [b.BColumn(plan.types[i], i, plan.names[i], dicts[i]) for i in range(n)]
+    node = b.LogicalProject(
+        names=list(plan.names[:n]), types=list(plan.types[:n]),
+        child=plan, exprs=exprs,
+    )
+    node.dicts = dicts[:n]
+    return node
 
 
 def _side_of(e: b.BExpr, n_left: int):
@@ -344,7 +582,12 @@ def prune_columns(op: b.LogicalOp, required: Optional[Set[int]] = None) -> b.Log
             elif old >= n_left and (old - n_left) in mr:
                 comb[old] = mr[old - n_left] + new_n_left
         if op.residual is not None:
-            _apply_mapping([op.residual], comb)
+            # the residual may reference right columns even when they are
+            # not join outputs (semi/anti joins): map both sides explicitly
+            res_map = dict(ml)
+            for j, nj in mr.items():
+                res_map[j + n_left] = nj + new_n_left
+            _apply_mapping([op.residual], res_map)
         dicts = getattr(op, "dicts", [None] * len(op.names))
         remap_out, new_names, new_types, new_dicts = {}, [], [], []
         for old, new in sorted(comb.items(), key=lambda kv: kv[1]):
