@@ -68,7 +68,7 @@ def test_tpch_query(engines, qid, mode):
     else:
         con.query("PRAGMA uncompact_all")
     sql = tpch.QUERIES[qid]
-    exp = _norm(lite.execute(sql).fetchall())
+    exp = _norm(lite.execute(tpch.oracle_sql(qid)).fetchall())
     got = _norm(con.query(sql).fetchall())
     ordered = "ORDER BY" in sql
     if not ordered:
