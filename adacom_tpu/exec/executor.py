@@ -174,6 +174,8 @@ class Executor:
             return self._exec_distinct(node, lits)
         if isinstance(node, b.LogicalSetOp):
             return self._exec_setop(node, lits)
+        if isinstance(node, b.LogicalWindow):
+            return self._exec_window(node, lits)
         raise ExecError(f"no executor for {type(node).__name__}")
 
     # ==================================================================
@@ -1147,6 +1149,148 @@ class Executor:
             mat = mat.take(np.sort(idx))
         mat.names = list(node.names)
         return mat
+
+
+    # ==================================================================
+    # window functions
+    # ==================================================================
+
+    def _exec_window(self, node: b.LogicalWindow, lits) -> Mat:
+        """Reference: PhysicalWindow (physical_window.cpp) — here one sort
+        per window (partition-major) + vectorized segmented computation
+        (exec/window.py)."""
+        mat = self._exec(node.child, lits)
+        n = mat.nrows
+        cols = list(mat.cols)
+        valids = list(mat.valids)
+        for w in node.windows:
+            if n == 0:
+                cols.append(np.empty(0, compute_dtype_of(w.ty)))
+                valids.append(None)
+                continue
+            col, valid = self._compute_window(w, mat, lits)
+            cols.append(col)
+            valids.append(valid)
+        dicts = getattr(node, "dicts", [None] * len(node.names))
+        return Mat(list(node.names), list(node.types), list(dicts), cols, valids)
+
+    def _compute_window(self, w: b.BoundWindow, mat: Mat, lits):
+        from adacom_tpu.exec import window as W
+
+        n = mat.nrows
+        # ---- partition ids
+        if w.partitions:
+            pouts = self._eval_on_mat(w.partitions, mat, lits)
+            key_cols = []
+            for v, m in pouts:
+                a = np.asarray(v)
+                if a.ndim == 0:
+                    a = np.full(n, a)
+                if m is not None:
+                    mm = np.asarray(m)
+                    if mm.ndim == 0:
+                        mm = np.full(n, bool(mm))
+                    key_cols.append(np.where(mm, a, np.zeros((), a.dtype)))
+                    key_cols.append(mm.astype(np.uint8))
+                else:
+                    key_cols.append(a)
+            part_id = np.unique(_row_keys(key_cols), return_inverse=True)[1]
+        else:
+            part_id = np.zeros(n, np.int64)
+
+        # ---- order keys (comparable-transformed, priority order)
+        okeys = []
+        for e, desc, nulls_first in w.order_keys:
+            (v, m), = self._eval_on_mat([e], mat, lits)
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                arr = np.full(n, arr)
+            d = self._expr_dict_of(e, mat)
+            if d is not None:
+                rank = d.rank_array()
+                arr = rank[np.minimum(arr, len(rank) - 1)] if len(rank) else arr
+            if desc:
+                if arr.dtype.kind in "iu" and m is None:
+                    arr = -arr.astype(np.int64)
+                else:
+                    arr = -arr.astype(np.float64)
+            if m is not None:
+                valid = np.asarray(m)
+                nf = nulls_first if nulls_first is not None else desc
+                arr = arr.astype(np.float64)
+                arr = np.where(valid, arr, -np.inf if nf else np.inf)
+            okeys.append(arr)
+
+        sidx = np.lexsort(tuple(reversed(okeys)) + (part_id,))
+        p = part_id[sidx]
+        pos = np.arange(n, dtype=np.int64)
+        starts = W.seg_starts_of(p)
+        pstart, pend = W.expand_starts(starts, n)
+
+        if okeys:
+            new_peer = np.r_[True, p[1:] != p[:-1]]
+            for k in okeys:
+                ks = k[sidx]
+                new_peer[1:] |= ks[1:] != ks[:-1]
+            ps = np.flatnonzero(new_peer)
+            peer_start, peer_end = W.expand_starts(ps.astype(np.int64), n)
+            has_order = True
+        else:
+            peer_start, peer_end = pstart, pend
+            has_order = False
+
+        # ---- value / constant arguments
+        const_args: list = []
+        value_args: list = []
+        if w.func == "ntile":
+            const_args = [int(_const_value(w.args[0], lits))]
+        elif w.func in ("lag", "lead"):
+            value_args = [w.args[0]]
+            off = int(_const_value(w.args[1], lits)) if len(w.args) > 1 else 1
+            default = _const_value(w.args[2], lits) if len(w.args) > 2 else None
+            const_args = [off, default]
+        elif w.func == "nth_value":
+            value_args = [w.args[0]]
+            const_args = [int(_const_value(w.args[1], lits))]
+        elif w.args:
+            value_args = [w.args[0]]
+
+        args_sorted = []
+        for e in value_args:
+            (v, m), = self._eval_on_mat([e], mat, lits)
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                arr = np.full(n, arr)
+            mm = None
+            if m is not None:
+                mm = np.asarray(m)
+                if mm.ndim == 0:
+                    mm = np.full(n, bool(mm))
+                mm = mm[sidx]
+            args_sorted.append((arr[sidx], mm))
+
+        out_s, valid_s = W.compute_sorted(
+            w.func, args_sorted, w.frame, has_order,
+            pos, pstart, pend, peer_start, peer_end,
+            is_decimal_sum=(w.ty.name == "DECIMAL"), const_args=const_args,
+        )
+        # decimal average: the scaled-integer sum divides out the scale
+        if w.func == "avg" and w.args and w.args[0].ty.name == "DECIMAL":
+            out_s = out_s / (10.0 ** w.args[0].ty.scale)
+
+        out_s = np.asarray(out_s)
+        want = compute_dtype_of(w.ty)
+        if out_s.dtype != want and w.ty.name != "VARCHAR":
+            out_s = out_s.astype(want)
+        out = np.empty(n, out_s.dtype)
+        out[sidx] = out_s
+        valid = None
+        if valid_s is not None:
+            valid = np.empty(n, bool)
+            valid[sidx] = valid_s
+            if valid.all():
+                valid = None
+        return out, valid
 
 
 # ======================================================================

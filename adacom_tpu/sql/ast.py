@@ -36,11 +36,25 @@ class Star(Expr):
 
 
 @D
+class WindowSpec:
+    """OVER (...) clause: PARTITION BY / ORDER BY / frame.
+
+    frame is None (default frame) or a tuple
+    (mode, start, end) where mode is 'rows'|'range' and each bound is
+    ('unbounded_preceding',), ('preceding', n), ('current',),
+    ('following', n) or ('unbounded_following',)."""
+    partition_by: List["Expr"]
+    order_by: List["OrderItem"]
+    frame: object = None
+
+
+@D
 class FuncCall(Expr):
     name: str
     args: List[Expr]
     distinct: bool = False
     star: bool = False  # count(*)
+    over: object = None  # WindowSpec when this is a window function call
 
 
 @D

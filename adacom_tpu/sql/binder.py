@@ -8,6 +8,7 @@ bind against the target column's dictionary at execution time."""
 
 from __future__ import annotations
 
+import dataclasses
 import datetime
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -93,6 +94,13 @@ class Scope:
 
 AGG_FUNCS = {"count", "sum", "avg", "min", "max", "first", "any_value",
              "stddev", "stddev_samp", "var_samp", "variance"}
+
+# pure window functions (reference: window function family bound in
+# src/planner/binder/expression/bind_window_expression.cpp); AGG_FUNCS are
+# also usable with OVER as windowed aggregates
+WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "percent_rank",
+                "cume_dist", "ntile", "lag", "lead", "first_value",
+                "last_value", "nth_value"}
 
 
 class Binder:
@@ -208,16 +216,36 @@ class Binder:
         has_agg = stmt.group_by is not None or any(
             self._contains_agg(e) for e, _ in sel_items
         ) or (stmt.having is not None)
+        has_window = any(self._contains_window(e) for e, _ in sel_items)
 
         if has_agg:
             plan = self._bind_aggregate(stmt, sel_items, child, scope)
         else:
+            names = [alias or self._expr_name(e) for e, alias in sel_items]
+            if has_window:
+                wcalls: List[ast.FuncCall] = []
+                sel_items = [(self._rewrite_windows(e, wcalls), a)
+                             for e, a in sel_items]
+                windows = [
+                    self._bind_window_func(w, lambda x: self.bind_expr(x, scope))
+                    for w in wcalls
+                ]
+                wnames = list(child.names) + [f"__win{i}" for i in range(len(windows))]
+                wtypes = list(child.types) + [w.ty for w in windows]
+                wnode = b.LogicalWindow(names=wnames, types=wtypes,
+                                        child=child, windows=windows)
+                wdicts = [self._window_dict(w) for w in windows]
+                wnode.dicts = getattr(child, "dicts", [None] * len(child.names)) + wdicts
+                child = wnode
+                ext = Scope()
+                ext.entries = list(scope.entries) + [
+                    (None, f"__win{i}", w.ty, d)
+                    for i, (w, d) in enumerate(zip(windows, wdicts))
+                ]
+                scope = ext
             exprs = []
-            names = []
             for e, alias in sel_items:
-                be = self.bind_expr(e, scope)
-                exprs.append(be)
-                names.append(alias or self._expr_name(e))
+                exprs.append(self.bind_expr(e, scope))
             plan = b.LogicalProject(
                 names=names, types=[e.ty for e in exprs], child=child, exprs=exprs
             )
@@ -287,8 +315,17 @@ class Binder:
 
     # ---------------- aggregate binding ----------------
     def _contains_agg(self, e: ast.Expr) -> bool:
-        if isinstance(e, ast.FuncCall) and e.name in AGG_FUNCS:
+        if isinstance(e, ast.FuncCall) and e.name in AGG_FUNCS and e.over is None:
             return True
+        if isinstance(e, ast.FuncCall) and e.over is not None:
+            # aggregates may appear inside the window's own expressions
+            # (rank() OVER (ORDER BY sum(x)))
+            for p in e.over.partition_by:
+                if self._contains_agg(p):
+                    return True
+            for it in e.over.order_by:
+                if self._contains_agg(it.expr):
+                    return True
         for f in e.__dataclass_fields__:
             v = getattr(e, f)
             if isinstance(v, ast.Expr) and self._contains_agg(v):
@@ -304,6 +341,17 @@ class Binder:
         return False
 
     def _bind_aggregate(self, stmt, sel_items, child, scope) -> b.LogicalOp:
+        # windows over aggregate output (rank() OVER (ORDER BY sum(x))):
+        # rewrite window calls to __winN sentinels first; their inner
+        # expressions bind post-aggregate below, and a LogicalWindow node is
+        # inserted between the aggregate (+HAVING) and the final projection
+        wcalls: List[ast.FuncCall] = []
+        if any(self._contains_window(e) for e, _ in sel_items):
+            names_pre = [alias or self._expr_name(e) for e, alias in sel_items]
+            sel_items = [
+                (self._rewrite_windows(e, wcalls), alias or names_pre[i])
+                for i, (e, alias) in enumerate(sel_items)
+            ]
         group_bexprs: List[b.BExpr] = []
         group_names: List[str] = []
         if stmt.group_by:
@@ -329,7 +377,20 @@ class Binder:
 
         aggs: List[b.BoundAggregate] = []
 
+        bound_windows: List[Optional[b.BoundWindow]] = [None] * len(wcalls)
+
         def bind_post_agg(e: ast.Expr) -> b.BExpr:
+            # window sentinel: negative marker index, patched to the
+            # LogicalWindow output position once the agg schema is final
+            if isinstance(e, ast.ColumnRef) and e.table is None and \
+                    e.name.startswith("__win") and e.name[5:].isdigit():
+                wi = int(e.name[5:])
+                if wi < len(wcalls):
+                    if bound_windows[wi] is None:
+                        bound_windows[wi] = self._bind_window_func(
+                            wcalls[wi], bind_post_agg)
+                    return b.BColumn(bound_windows[wi].ty, -(wi + 1),
+                                     e.name, self._window_dict(bound_windows[wi]))
             # group expr match (structural, on the AST via bound comparison)
             be_try = None
             try:
@@ -414,6 +475,25 @@ class Binder:
             node.dicts = getattr(plan, "dicts")
             plan = node
 
+        if wcalls:
+            windows = [w for w in bound_windows if w is not None]
+            if len(windows) != len(bound_windows):
+                raise BindError("window function bound outside select list")
+            agg_width = len(plan.names)
+            wnames = list(plan.names) + [f"__win{i}" for i in range(len(windows))]
+            wtypes = list(plan.types) + [w.ty for w in windows]
+            wnode = b.LogicalWindow(names=wnames, types=wtypes,
+                                    child=plan, windows=windows)
+            wnode.dicts = getattr(plan, "dicts") + [
+                self._window_dict(w) for w in windows
+            ]
+            plan = wnode
+            # patch sentinel indices (negative markers) to window positions
+            for e in out_exprs:
+                for x in b.expr_walk(e):
+                    if isinstance(x, b.BColumn) and x.index < 0:
+                        x.index = agg_width + (-x.index - 1)
+
         proj = b.LogicalProject(
             names=out_names, types=[e.ty for e in out_exprs], child=plan, exprs=out_exprs
         )
@@ -450,6 +530,118 @@ class Binder:
         if name in ("stddev", "stddev_samp", "var_samp", "variance"):
             return b.BoundAggregate(name, arg, tt.DOUBLE)
         raise BindError(f"unknown aggregate {name}")
+
+    # ---------------- window binding ----------------
+    def _contains_window(self, e: ast.Expr) -> bool:
+        if isinstance(e, ast.FuncCall) and e.over is not None:
+            return True
+        for f in e.__dataclass_fields__:
+            v = getattr(e, f)
+            if isinstance(v, ast.Expr) and self._contains_window(v):
+                return True
+            if isinstance(v, list):
+                for x in v:
+                    if isinstance(x, ast.Expr) and self._contains_window(x):
+                        return True
+                    if isinstance(x, tuple):
+                        for y in x:
+                            if isinstance(y, ast.Expr) and self._contains_window(y):
+                                return True
+        return False
+
+    def _rewrite_windows(self, e: ast.Expr, wcalls: List[ast.FuncCall]) -> ast.Expr:
+        """Replace every window FuncCall with a `__winN` column sentinel,
+        collecting the calls (deduplicated) into wcalls."""
+        if isinstance(e, ast.FuncCall) and e.over is not None:
+            for i, w in enumerate(wcalls):
+                if w == e:
+                    return ast.ColumnRef(f"__win{i}")
+            wcalls.append(e)
+            return ast.ColumnRef(f"__win{len(wcalls) - 1}")
+        if not isinstance(e, ast.Expr):
+            return e
+        kw = {}
+        changed = False
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            nv = v
+            if isinstance(v, ast.Expr):
+                nv = self._rewrite_windows(v, wcalls)
+            elif isinstance(v, list):
+                nl = []
+                lchanged = False
+                for x in v:
+                    if isinstance(x, ast.Expr):
+                        nx = self._rewrite_windows(x, wcalls)
+                    elif isinstance(x, tuple):
+                        nx = tuple(
+                            self._rewrite_windows(y, wcalls)
+                            if isinstance(y, ast.Expr) else y
+                            for y in x
+                        )
+                    else:
+                        nx = x
+                    lchanged = lchanged or (nx is not x)
+                    nl.append(nx)
+                if lchanged:
+                    nv = nl
+            if nv is not v:
+                changed = True
+            kw[f.name] = nv
+        return dataclasses.replace(e, **kw) if changed else e
+
+    def _bind_window_func(self, e: ast.FuncCall, bind_scalar) -> b.BoundWindow:
+        spec: ast.WindowSpec = e.over
+        name = e.name
+        if name not in WINDOW_FUNCS and name not in AGG_FUNCS:
+            raise BindError(f"unknown window function {name}")
+        args = [] if e.star else [bind_scalar(a) for a in e.args]
+        partitions = [bind_scalar(p) for p in spec.partition_by]
+        order_keys = [
+            (bind_scalar(it.expr), it.desc, it.nulls_first)
+            for it in spec.order_by
+        ]
+        if name in ("row_number", "rank", "dense_rank", "ntile", "count"):
+            ty = tt.BIGINT
+        elif name in ("percent_rank", "cume_dist", "avg", "stddev",
+                      "stddev_samp", "var_samp", "variance"):
+            ty = tt.DOUBLE
+        elif name in ("lag", "lead", "first_value", "last_value", "nth_value",
+                      "min", "max", "first", "any_value"):
+            if not args:
+                raise BindError(f"window function {name} requires an argument")
+            ty = args[0].ty
+        elif name == "sum":
+            if not args:
+                raise BindError("sum requires an argument")
+            if args[0].ty.is_float:
+                ty = tt.DOUBLE
+            elif args[0].ty.name == "DECIMAL":
+                ty = tt.DECIMAL(38, args[0].ty.scale)
+            else:
+                ty = tt.BIGINT
+        else:
+            raise BindError(f"unsupported window function {name}")
+        if name in ("ntile", "lag", "lead", "nth_value"):
+            # offset/bucket arguments shape the computation: constants only
+            for a in args[1:] if name != "ntile" else args[:1]:
+                if not isinstance(a, b.BLiteral):
+                    raise BindError(f"{name} offset must be a constant")
+                if a.param is not None:
+                    self.structural.add(a.param)
+        frame = spec.frame
+        if frame is not None and frame[0] == "range":
+            for bound in frame[1:]:
+                if bound[0] in ("preceding", "following"):
+                    raise BindError(
+                        "RANGE frames with value offsets are not supported")
+        return b.BoundWindow(name, args, ty, partitions, order_keys, frame)
+
+    def _window_dict(self, w: b.BoundWindow):
+        if w.func in ("lag", "lead", "first_value", "last_value", "nth_value",
+                      "min", "max", "first", "any_value") and w.args:
+            return self._expr_dict(w.args[0])
+        return None
 
     # ================= table refs =================
     def bind_table_ref(self, ref: ast.TableRef) -> Tuple[b.LogicalOp, Scope]:

@@ -139,6 +139,21 @@ class BAggRef(BExpr):
 
 
 @D
+class BoundWindow:
+    """One window-function computation over the child's rows (reference:
+    BoundWindowExpression, src/planner/expression/bound_window_expression.hpp;
+    executed by src/execution/operator/aggregate/physical_window.cpp)."""
+    func: str  # row_number/rank/.../sum/min/max/count/avg/lag/lead/...
+    args: List[BExpr]
+    ty: tt.LogicalType
+    partitions: List[BExpr]
+    # (key expr, desc, nulls_first)
+    order_keys: List[Tuple[BExpr, bool, Optional[bool]]]
+    # None = default frame; else (mode, start, end) per ast.WindowSpec
+    frame: Any = None
+
+
+@D
 class BoundAggregate:
     func: str  # count/sum/avg/min/max/count_star/...
     arg: Optional[BExpr]
@@ -200,6 +215,14 @@ class LogicalJoin(LogicalOp):
 
 
 @D
+class LogicalWindow(LogicalOp):
+    """Output schema = child schema ++ one column per window function
+    (reference: LogicalWindow, src/planner/operator/logical_window.hpp)."""
+    child: LogicalOp = None
+    windows: List[BoundWindow] = dataclasses.field(default_factory=list)
+
+
+@D
 class LogicalOrder(LogicalOp):
     child: LogicalOp = None
     # (expr over child schema, desc, nulls_first)
@@ -247,6 +270,11 @@ def iter_node_exprs(op: LogicalOp):
                 elif isinstance(x, BoundAggregate):
                     if x.arg is not None:
                         yield x.arg
+                elif isinstance(x, BoundWindow):
+                    yield from x.args
+                    yield from x.partitions
+                    for k, _, _ in x.order_keys:
+                        yield k
                 elif isinstance(x, tuple):
                     for y in x:
                         if isinstance(y, BExpr):

@@ -24,7 +24,9 @@ KEYWORDS = {
     "DATE", "TIMESTAMP", "EXTRACT", "SUBSTRING", "FOR", "CHECKPOINT",
     "VACUUM", "DEFAULT", "PRIMARY", "KEY", "UNIQUE", "CONSTRAINT",
     "FOREIGN", "REFERENCES", "CHECK", "COPY", "TO", "DESCRIBE", "SHOW",
-    "ANY", "SOME", "ESCAPE",
+    "ANY", "SOME", "ESCAPE", "OVER", "PARTITION", "ROWS", "RANGE",
+    "PRECEDING", "FOLLOWING", "UNBOUNDED", "CURRENT", "ROW", "WINDOW",
+    "FILTER", "PREPARE", "EXECUTE", "INDEX",
 }
 
 # token kinds

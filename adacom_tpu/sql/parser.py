@@ -89,7 +89,10 @@ class _Parser:
         # allow non-reserved keywords as identifiers in common spots
         if t.kind == KW and t.value in ("DATE", "TIMESTAMP", "KEY", "FIRST",
                                         "LAST", "SET", "SHOW", "ANY", "SOME",
-                                        "CHECK", "TO", "VALUES", "ALL"):
+                                        "CHECK", "TO", "VALUES", "ALL", "ROW",
+                                        "ROWS", "RANGE", "OVER", "PARTITION",
+                                        "CURRENT", "FILTER", "WINDOW",
+                                        "INDEX"):
             self.next()
             return t.value.lower()
         raise ParserError(f"expected identifier, got {t.value!r}")
@@ -421,6 +424,68 @@ class _Parser:
         offset = self.expr() if self.accept_kw("OFFSET") else None
         return order_by, limit, offset
 
+    def window_spec(self) -> ast.WindowSpec:
+        """OVER ( [PARTITION BY ...] [ORDER BY ...] [frame] ) (reference:
+        window binding src/planner/binder/expression/bind_window_expression.cpp)."""
+        self.expect_op("(")
+        partition_by: list = []
+        if self.accept_kw("PARTITION"):
+            self.expect_kw("BY")
+            while True:
+                partition_by.append(self.expr())
+                if not self.accept_op(","):
+                    break
+        order_by: list = []
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                e = self.expr()
+                desc = False
+                if self.accept_kw("DESC"):
+                    desc = True
+                else:
+                    self.accept_kw("ASC")
+                nulls_first = None
+                if self.accept_kw("NULLS"):
+                    nulls_first = bool(self.accept_kw("FIRST"))
+                    if nulls_first is False:
+                        self.expect_kw("LAST")
+                order_by.append(ast.OrderItem(e, desc, nulls_first))
+                if not self.accept_op(","):
+                    break
+        frame = None
+        mode = self.accept_kw("ROWS", "RANGE")
+        if mode:
+            if self.accept_kw("BETWEEN"):
+                start = self._frame_bound()
+                self.expect_kw("AND")
+                end = self._frame_bound()
+            else:
+                start = self._frame_bound()
+                end = ("current",)
+            frame = (mode.lower(), start, end)
+        self.expect_op(")")
+        return ast.WindowSpec(partition_by, order_by, frame)
+
+    def _frame_bound(self):
+        if self.accept_kw("UNBOUNDED"):
+            if self.accept_kw("PRECEDING"):
+                return ("unbounded_preceding",)
+            self.expect_kw("FOLLOWING")
+            return ("unbounded_following",)
+        if self.accept_kw("CURRENT"):
+            if not self.accept_kw("ROW"):
+                self.accept_kw("ROWS")
+            return ("current",)
+        t = self._mark(self.next())  # frame extent shapes the plan
+        if t.kind != NUM:
+            raise ParserError(f"expected frame bound, got {t.value!r}")
+        n = _num(t)
+        if self.accept_kw("PRECEDING"):
+            return ("preceding", n)
+        self.expect_kw("FOLLOWING")
+        return ("following", n)
+
     def from_clause(self) -> ast.TableRef:
         ref = self.table_ref()
         while True:
@@ -474,8 +539,10 @@ class _Parser:
         if self.accept_op("("):
             sub = self.select_stmt()
             self.expect_op(")")
-            self.accept_kw("AS")
-            alias = self.ident()
+            had_as = bool(self.accept_kw("AS"))
+            alias = None
+            if had_as or self.peek().kind == IDENT:
+                alias = self.ident()
             return ast.SubqueryRef(sub, alias)
         name = self.ident()
         alias = None
@@ -694,16 +761,21 @@ class _Parser:
                 self.next()
                 if self.accept_op("*"):
                     self.expect_op(")")
-                    return ast.FuncCall(name.lower(), [], star=True)
-                distinct = bool(self.accept_kw("DISTINCT"))
-                args = []
-                if not self.at(OP, ")"):
-                    while True:
-                        args.append(self.expr())
-                        if not self.accept_op(","):
-                            break
-                self.expect_op(")")
-                return ast.FuncCall(name.lower(), args, distinct=distinct)
+                    fc = ast.FuncCall(name.lower(), [], star=True)
+                else:
+                    distinct = bool(self.accept_kw("DISTINCT"))
+                    args = []
+                    if not self.at(OP, ")"):
+                        while True:
+                            args.append(self.expr())
+                            if not self.accept_op(","):
+                                break
+                    self.expect_op(")")
+                    fc = ast.FuncCall(name.lower(), args, distinct=distinct)
+                if self.at_kw("OVER"):
+                    self.next()
+                    fc.over = self.window_spec()
+                return fc
             # qualified reference: t.c or t.*
             if self.accept_op("."):
                 if self.accept_op("*"):
