@@ -42,8 +42,13 @@ class DBConfig:
     memory_limit: Optional[int] = None
     # Worker threads for host-side orchestration (PRAGMA threads).
     threads: int = 0  # 0 = auto
-    # Force a compression codec at checkpoint ("uncompressed"|"succinct").
+    # Force a compression codec at compaction/checkpoint ("uncompressed" |
+    # "succinct" | any registry codec: rle/delta/dictionary/constant/alp).
     force_compression: Optional[str] = None
+    # Default compaction codec: "succinct" (reference Compact() parity) or
+    # "auto" (checkpoint-style analyze-based best-codec selection,
+    # DetectBestCompressionMethod parity) or a specific codec name.
+    compression_codec: str = "succinct"
     # Run scans/compaction on this platform ("tpu"|"cpu"|None=default).
     platform: Optional[str] = None
     # Latency tier: selective point-lookup scans touching at most this many
@@ -92,6 +97,12 @@ class DBConfig:
         elif key == "force_compression":
             v = str(value).strip("'\"").lower()
             self.force_compression = None if v in ("", "auto", "none") else v
+        elif key == "compression_codec":
+            v = str(value).strip("'\"").lower() or "succinct"
+            from adacom_tpu.ops import codecs as _codecs
+            if v not in ("succinct", "auto", "uncompressed") and v not in _codecs.REGISTRY:
+                raise ValueError(f"unknown compression codec: {v}")
+            self.compression_codec = v
         elif key == "host_scan_segment_limit":
             self.host_scan_segment_limit = int(value)
         elif key == "segment_rows":

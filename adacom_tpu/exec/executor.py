@@ -23,7 +23,7 @@ import numpy as np
 
 from adacom_tpu import types as tt
 from adacom_tpu.ops import agg as agg_ops
-from adacom_tpu.ops import bitpack, segcodec
+from adacom_tpu.ops import bitpack, codecs, segcodec
 from adacom_tpu.ops.select import compact_traced, tail_mask
 from adacom_tpu.sql import bound as b
 from adacom_tpu.exec.expr import ExprCompiler, CompiledExpr, compute_dtype_of
@@ -77,6 +77,8 @@ def seg_arg_count(meta) -> int:
     if kind == "packed":
         widths, n_lanes, dtype = meta[1]
         return sum(1 for w in widths if w > 0) + 1  # words... + min_factor
+    if kind in codecs.REGISTRY:  # generic codec framework (ops/codecs.py)
+        return codecs.arg_count(meta)
     raise ValueError(meta)
 
 
@@ -86,6 +88,8 @@ def make_seg_decoder(meta, compute_dtype):
         def decode(args):
             return args[0]
         return decode
+    if kind in codecs.REGISTRY:
+        return codecs.make_decoder(meta, compute_dtype)
     widths, n_lanes, dtype = meta[1]
     n_pad = bitpack.ROWS * n_lanes
 

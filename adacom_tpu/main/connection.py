@@ -420,6 +420,40 @@ class Connection:
         if name == "database_size":
             return self._scalar_result("database_size", tt.BIGINT,
                                        cat.get_total_data_size())
+        if name == "compression_info":
+            # per-segment codec report (reference PRAGMA show + the fork's
+            # ColumnSegmentCatalog::Print, column_segment_catalog.cpp:138)
+            only = str(stmt.args[0]).strip("'\"").lower() if stmt.args else None
+            rows = []
+            for tname, table in self.db.catalog.tables.items():
+                if only and tname.lower() != only:
+                    continue
+                table.flush()
+                for cname in table.column_order:
+                    for si, seg in enumerate(table.columns[cname].segments):
+                        rows.append((tname, cname, si,
+                                     seg.codec or "uncompressed", seg.state,
+                                     seg.count, seg.footprint_bytes(),
+                                     seg.num_reads))
+            names = ["table_name", "column_name", "segment_id", "codec",
+                     "state", "rows", "bytes", "reads"]
+            types = [tt.VARCHAR, tt.VARCHAR, tt.INTEGER, tt.VARCHAR,
+                     tt.VARCHAR, tt.BIGINT, tt.BIGINT, tt.BIGINT]
+            n = len(rows)
+            idx = np.arange(n, dtype=np.uint32)
+            cols = [
+                idx, idx,
+                np.asarray([r[2] for r in rows], dtype=np.int32),
+                idx, idx,
+                np.asarray([r[5] for r in rows], dtype=np.int64),
+                np.asarray([r[6] for r in rows], dtype=np.int64),
+                np.asarray([r[7] for r in rows], dtype=np.int64),
+            ]
+            dicts = [_TextDict([str(r[0]) for r in rows]),
+                     _TextDict([str(r[1]) for r in rows]), None,
+                     _TextDict([str(r[3]) for r in rows]),
+                     _TextDict([str(r[4]) for r in rows]), None, None, None]
+            return QueryResult(names, types, cols, [None] * 8, dicts)
         if name in ("enable_profiling", "enable_profile"):
             self.db.config.enable_profiling = True
             return None

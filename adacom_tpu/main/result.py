@@ -60,6 +60,12 @@ class QueryResult:
         n = self.row_count
         return [tuple(col[i] for col in rendered) for i in range(n)]
 
+    def to_dicts(self) -> List[dict]:
+        rendered = [self._render_col(t, c, v, d) for t, c, v, d in
+                    zip(self.types, self._cols, self._valids, self._dicts)]
+        return [dict(zip(self.names, (col[i] for col in rendered)))
+                for i in range(self.row_count)]
+
     def fetchone(self) -> Optional[tuple]:
         rows = self.fetchall()
         return rows[0] if rows else None

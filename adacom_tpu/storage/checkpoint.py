@@ -39,6 +39,7 @@ def write_checkpoint(db, path: str) -> None:
                 sinfo: dict = {
                     "count": seg.count,
                     "state": seg.state,
+                    "codec": seg.codec,
                     "vmin": seg.vmin,
                     "vmax": seg.vmax,
                     "reads": seg.num_reads,
@@ -100,7 +101,7 @@ def try_load_database(db, path: str) -> bool:
             # restore compaction states
             for seg, sinfo in zip(col.segments, cinfo["segments"]):
                 if sinfo["state"] == "packed":
-                    seg.compact()
+                    seg.compact(sinfo.get("codec"))
                 seg.num_reads = sinfo.get("reads", 0)
         for k, rows in tinfo.get("deletes", {}).items():
             if rows:

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adacom_tpu import types as tt
-from adacom_tpu.ops import bitpack, segcodec
+from adacom_tpu.ops import bitpack, codecs, segcodec
 
 PLAIN = "plain"
 PACKED = "packed"
@@ -99,6 +99,11 @@ class ColumnSegment:
 
         # representation (exactly one of these is set when resident)
         self._state = PLAIN
+        # codec used when compacted: "succinct" (PackedData fast path) or a
+        # generic registry codec (ops/codecs.py); None while plain
+        self.codec: Optional[str] = None
+        self._encx: Optional[codecs.Encoded] = None
+        self._encx_nbytes: Optional[int] = None  # survives page-out
         self._plain: Optional[jax.Array] = None
         self._packed: Optional[segcodec.PackedData] = None
         self._validity_dev: Optional[jax.Array] = None
@@ -124,6 +129,8 @@ class ColumnSegment:
             n += self._plain.size * self._plain.dtype.itemsize
         if self._packed is not None:
             n += self._packed.nbytes
+        if self._encx is not None:
+            n += self._encx.nbytes
         if self._validity_dev is not None:
             n += self._validity_dev.size * 4
         return n
@@ -133,6 +140,11 @@ class ColumnSegment:
         packed bytes when compacted, plain bytes otherwise. Valid whether or
         not the segment is device-resident."""
         if self._state == PACKED:
+            if self.codec not in (None, "succinct"):
+                if self._encx is not None:
+                    return self._encx.nbytes
+                if self._encx_nbytes is not None:
+                    return self._encx_nbytes
             if self._packed is not None:
                 return self._packed.nbytes
             widths, _ = segcodec.plan_widths(
@@ -159,7 +171,13 @@ class ColumnSegment:
                     bitpack.pad_codes(bits, bitpack.lanes_for(self.count)), width=1
                 )
             if self._state == PACKED:
-                self._packed = self._pack_from(arr)
+                if self.codec not in (None, "succinct"):
+                    self._encx = codecs.encode(
+                        self.codec, self._host_compute_values(), self.ltype,
+                        self.config)
+                    self._encx_nbytes = self._encx.nbytes
+                else:
+                    self._packed = self._pack_from(arr)
                 self._plain = None
             else:
                 self._plain = arr
@@ -189,6 +207,7 @@ class ColumnSegment:
         freed = self.device_nbytes()
         self._plain = None
         self._packed = None
+        self._encx = None
         self._validity_dev = None
         self._paged_out = True
         self.version += 1
@@ -207,22 +226,78 @@ class ColumnSegment:
             vmax=self.vmax if isinstance(self.vmax, int) else None,
         )
 
-    def compact(self) -> bool:
-        """Bit-compress in place. Returns True if the state changed."""
-        if not self.succinct_possible or self.count == 0:
+    def _host_compute_values(self) -> np.ndarray:
+        return self._host_values.astype(self.compute_dtype, copy=False)
+
+    def _resolve_codec(self, codec: Optional[str]) -> Optional[str]:
+        """Pick the compaction codec: explicit arg > force_compression >
+        config.compression_codec ('auto' = analyze-based selection,
+        DetectBestCompressionMethod parity)."""
+        if codec is None:
+            codec = self.config.force_compression
+        if codec is None:
+            codec = getattr(self.config, "compression_codec", "succinct")
+        codec = codec.lower()
+        if codec == "succinct":
+            return "succinct" if self.succinct_possible else None
+        if codec == "uncompressed":
+            return None
+        if codec == "auto":
+            vals = self._host_compute_values()
+            succ_bytes = None
+            if self.succinct_possible:
+                widths, _ = segcodec.plan_widths(
+                    self.vmin, self.vmax, self.compute_dtype.itemsize,
+                    extract_prefix=self.config.succinct_extract_prefix_enabled,
+                    padded_to_byte=self.config.succinct_padded_to_next_byte_enabled,
+                )
+                succ_bytes = segcodec.packed_nbytes(
+                    widths, bitpack.lanes_for(self.count))
+            best, _ = codecs.detect_best_codec(
+                vals, self.ltype, self.config, succ_bytes)
+            return None if best == "uncompressed" else best
+        if codec not in codecs.REGISTRY:
+            raise ValueError(f"unknown compression codec: {codec}")
+        if codecs.REGISTRY[codec].analyze(
+                self._host_compute_values(), self.ltype, self.config) is None:
+            return None
+        return codec
+
+    def compact(self, codec: Optional[str] = None) -> bool:
+        """Compress in place. Returns True if the state changed.
+
+        Reference Compact() (column_segment.cpp:273) always bit-compresses
+        succinct; here the codec is pluggable (registry in ops/codecs.py)
+        and 'auto' picks the smallest analyzed representation."""
+        if self.count == 0:
             return False
         with self._lock:
             if self._state == PACKED:
                 return False
+            resolved = self._resolve_codec(codec)
+            if resolved is None:
+                return False
             before = self.footprint_bytes()
+            self.codec = resolved
             if self._paged_out:
-                self._state = PACKED  # will materialize packed on page-in
+                if resolved != "succinct":
+                    # need real nbytes for accounting: encode once, drop
+                    est = codecs.REGISTRY[resolved].analyze(
+                        self._host_compute_values(), self.ltype, self.config)
+                    self._encx_nbytes = est
+                self._state = PACKED  # materializes on page-in
             else:
                 old_bytes = self.device_nbytes()
-                arr = self._plain
-                if arr is None:
-                    arr = jnp.asarray(self._host_values.astype(self.compute_dtype))
-                self._packed = self._pack_from(arr)
+                if resolved != "succinct":
+                    self._encx = codecs.encode(
+                        resolved, self._host_compute_values(), self.ltype,
+                        self.config)
+                    self._encx_nbytes = self._encx.nbytes
+                else:
+                    arr = self._plain
+                    if arr is None:
+                        arr = jnp.asarray(self._host_compute_values())
+                    self._packed = self._pack_from(arr)
                 self._plain = None
                 self._state = PACKED
                 self.bm.notify_free(self, old_bytes)
@@ -241,11 +316,19 @@ class ColumnSegment:
                 self._state = PLAIN
             else:
                 old_bytes = self.device_nbytes()
-                self._plain = segcodec.unpack_segment(self._packed, self.compute_dtype)
+                if self._encx is not None:
+                    self._plain = codecs.decode_full(self._encx,
+                                                     self.compute_dtype)
+                else:
+                    self._plain = segcodec.unpack_segment(
+                        self._packed, self.compute_dtype)
                 self._packed = None
+                self._encx = None
                 self._state = PLAIN
                 self.bm.notify_free(self, old_bytes)
                 self.bm.notify_alloc(self, self.device_nbytes())
+            self.codec = None
+            self._encx_nbytes = None
             self.version += 1
             self.bm.add_to_data_size(self.footprint_bytes() - before)
             return True
@@ -268,6 +351,8 @@ class ColumnSegment:
         self.add_read_access()
         with self._lock:
             if self._state == PACKED:
+                if self._encx is not None:
+                    return self._encx.meta, self._encx.arrays
                 p = self._packed
                 mf = jnp.asarray(p.min_factor, dtype=p.dtype)
                 arrays = tuple(w for w in p.words if w is not None) + (mf,)
@@ -293,6 +378,10 @@ class ColumnSegment:
         self._ensure_resident()
         self.add_read_access()
         with self._lock:
+            if self._state == PACKED and self._encx is not None:
+                enc = self._encx
+                return enc.meta, enc.arrays, codecs.make_decoder(
+                    enc.meta, self.compute_dtype)
             if self._state == PACKED:
                 p = self._packed
                 meta = ("packed", p.meta)
@@ -356,6 +445,8 @@ class ColumnSegment:
         self.add_read_access()
         with self._lock:
             if self._state == PACKED:
+                if self._encx is not None:
+                    return codecs.decode_full(self._encx, self.compute_dtype)
                 return segcodec.unpack_segment(self._packed, self.compute_dtype)
             return self._plain
 
@@ -365,7 +456,10 @@ class ColumnSegment:
         self.add_read_access()
         with self._lock:
             if self._state == PACKED:
-                out = segcodec.gather_segment(self._packed, jnp.asarray(idx))
+                if self._encx is not None:
+                    out = codecs.gather(self._encx, jnp.asarray(idx))
+                else:
+                    out = segcodec.gather_segment(self._packed, jnp.asarray(idx))
             else:
                 out = self._plain[jnp.asarray(idx)]
         return np.asarray(out)
