@@ -26,6 +26,7 @@ class Catalog:
         self._lock = threading.RLock()
         self.tables: Dict[str, Table] = {}
         self.views: Dict[str, str] = {}  # name -> SELECT sql
+        self.wal = None  # attached by Database when durable
         self.segment_catalog = ColumnSegmentCatalog(config)
         # reference Catalog::Initialize starts background compaction when
         # adaptive mode is on (catalog.cpp:67-71; there it starts
@@ -46,6 +47,11 @@ class Catalog:
                     return self.tables[key]
                 raise CatalogException(f"table {name!r} already exists")
             t = Table(key, columns, self.config, self.bm, self.segment_catalog)
+            if self.wal is not None:
+                self.wal.log_create_table(key, [
+                    (c, ty.name, ty.precision, ty.scale) for c, ty in columns
+                ])
+                t.wal = self.wal
             self.tables[key] = t
             return t
 
@@ -66,6 +72,8 @@ class Catalog:
                 if if_exists:
                     return
                 raise CatalogException(f"table {name!r} does not exist")
+            if self.wal is not None:
+                self.wal.log_drop_table(key)
             for c in t.column_order:
                 col = t.columns[c]
                 for s in col.segments:
@@ -80,7 +88,22 @@ class Catalog:
                 raise CatalogException(f"{name!r} is a table")
             if key in self.views and not or_replace:
                 raise CatalogException(f"view {name!r} already exists")
+            if self.wal is not None:
+                self.wal.log_create_view(key, sql)
             self.views[key] = sql
+
+    def drop_view(self, name: str) -> None:
+        key = name.lower()
+        with self._lock:
+            if self.views.pop(key, None) is not None and self.wal is not None:
+                self.wal.log_drop_view(key)
+
+    def attach_wal(self, wal) -> None:
+        """Durable mode: route DDL/DML through the write-ahead log."""
+        with self._lock:
+            self.wal = wal
+            for t in self.tables.values():
+                t.wal = wal
 
     def get_view(self, name: str) -> Optional[str]:
         return self.views.get(name.lower())

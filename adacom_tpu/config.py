@@ -62,6 +62,12 @@ class DBConfig:
     # scans are unaffected (they stay on the TPU). Disable to force device
     # materialization.
     host_materialize: bool = True
+    # WAL size (bytes) that triggers an automatic checkpoint; None disables
+    # (reference checkpoint-on-threshold; PRAGMA wal_autocheckpoint).
+    wal_autocheckpoint: Optional[int] = 64 * 1024 * 1024
+    # Fault injection: abort checkpoints at the named stage
+    # ("none" | "before_header"), reference PRAGMA debug_checkpoint_abort.
+    checkpoint_abort: str = "none"
     # Enable per-query profiling (PRAGMA enable_profiling).
     enable_profiling: bool = False
     # Statement verification: re-run each SELECT unoptimized and compare
@@ -92,6 +98,13 @@ class DBConfig:
             setattr(self, key, float(value))
         elif key == "memory_limit":
             self.memory_limit = parse_memory_limit(value)
+        elif key == "wal_autocheckpoint":
+            self.wal_autocheckpoint = parse_memory_limit(value)
+        elif key in ("checkpoint_abort", "debug_checkpoint_abort"):
+            v = str(value).strip("'\"").lower()
+            if v not in ("none", "before_header"):
+                raise ValueError(f"unknown checkpoint_abort stage: {v}")
+            self.checkpoint_abort = v
         elif key == "threads":
             self.threads = int(value)
         elif key == "force_compression":

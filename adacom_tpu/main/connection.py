@@ -75,7 +75,7 @@ class Connection:
             res = self._execute_update(stmt, lits)
         elif isinstance(stmt, ast.DropStmt):
             if stmt.kind == "view":
-                self.db.catalog.views.pop(stmt.name.lower(), None)
+                self.db.catalog.drop_view(stmt.name)
             else:
                 self.db.catalog.drop_table(stmt.name, stmt.if_exists)
             self._bump_catalog_version()
@@ -96,6 +96,10 @@ class Connection:
             res = self._execute_describe(stmt)
         else:
             raise SQLError(f"unsupported statement {type(stmt).__name__}")
+        if isinstance(stmt, (ast.InsertStmt, ast.DeleteStmt, ast.UpdateStmt,
+                             ast.CreateTableStmt, ast.DropStmt)) and \
+                not self._in_txn:
+            self.db.maybe_autocheckpoint()
         if self.db.config.enable_profiling:
             self.last_profile = {
                 "statement": type(stmt).__name__,
@@ -354,13 +358,21 @@ class Connection:
                 )
 
     def _execute_txn(self, stmt: ast.TransactionStmt):
+        wal = self.db.wal
         if stmt.action == "begin":
             self._in_txn = True
             self._txn_snapshot = {}
+            if wal is not None:
+                wal.begin()
         elif stmt.action == "commit":
             self._in_txn = False
             self._txn_snapshot = None
+            if wal is not None:
+                wal.commit()
+            self.db.maybe_autocheckpoint()
         elif stmt.action == "rollback":
+            if wal is not None:
+                wal.abort()
             if self._txn_snapshot:
                 for name, (nrows, deletes) in self._txn_snapshot.items():
                     try:

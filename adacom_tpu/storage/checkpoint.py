@@ -56,7 +56,9 @@ def write_checkpoint(db, path: str) -> None:
                 os.path.join(path, f"{tname}.{cname}.npz"), **arrays
             )
             tinfo["columns"].append(cinfo)
-        deletes = {str(k): v.tolist() for k, v in table._deletes.items()}
+        # store deleted-row *indices* (mark_deleted takes indices on restore)
+        deletes = {str(k): np.flatnonzero(v).tolist()
+                   for k, v in table._deletes.items()}
         tinfo["deletes"] = deletes
         manifest["tables"][tname] = tinfo
     manifest["views"] = dict(db.catalog.views)

@@ -186,6 +186,8 @@ class Table:
         # deleted-row bitmaps, one bool array per sealed segment index
         self._deletes: Dict[int, np.ndarray] = {}
         self._has_deletes = False
+        # write-ahead log (attached by Catalog when the db is durable)
+        self.wal = None
 
     @property
     def column_types(self) -> List[tt.LogicalType]:
@@ -208,9 +210,9 @@ class Table:
                     n = len(data[c])
                 elif len(data[c]) != n:
                     raise ValueError("ragged append batch")
+            normalized: Dict[str, np.ndarray] = {}
             for c in self.column_order:
                 col = self.columns[c]
-                col.unseal_last_partial()
                 vals = data[c]
                 if col.dictionary is not None and (
                     not isinstance(vals, np.ndarray) or vals.dtype.kind in "OUS"
@@ -220,8 +222,24 @@ class Table:
                     vals = np.asarray(vals)
                     if vals.dtype != col.ltype.np_dtype:
                         vals = vals.astype(col.ltype.np_dtype)
-                mask = validity.get(c) if validity else None
-                col.stage(vals, mask)
+                normalized[c] = vals
+            if self.wal is not None:
+                # WAL stores logical content: dictionary columns as strings
+                # (the dictionary is rebuilt on replay, codes are not stable)
+                wal_data = {}
+                for c in self.column_order:
+                    col = self.columns[c]
+                    if col.dictionary is not None:
+                        wal_data[c] = np.asarray(
+                            col.dictionary.decode(normalized[c].astype(np.int64)),
+                            dtype=object)
+                    else:
+                        wal_data[c] = normalized[c]
+                self.wal.log_insert(self.name, wal_data, validity)
+            for c in self.column_order:
+                col = self.columns[c]
+                col.unseal_last_partial()
+                col.stage(normalized[c], validity.get(c) if validity else None)
 
     def flush(self):
         with self._append_lock:
@@ -245,6 +263,8 @@ class Table:
         return self._deletes.get(i)
 
     def mark_deleted(self, seg_idx: int, rows: np.ndarray):
+        if self.wal is not None:
+            self.wal.log_delete(self.name, seg_idx, rows)
         seg_rows = self.segment_rows(seg_idx)
         m = self._deletes.get(seg_idx)
         if m is None:
