@@ -12,6 +12,7 @@ from typing import Dict, List, Optional
 
 from adacom_tpu import types as tt
 from adacom_tpu.catalog.segment_catalog import ColumnSegmentCatalog
+from adacom_tpu.storage.index import SortedIndex
 from adacom_tpu.storage.table import Table
 
 
@@ -26,6 +27,7 @@ class Catalog:
         self._lock = threading.RLock()
         self.tables: Dict[str, Table] = {}
         self.views: Dict[str, str] = {}  # name -> SELECT sql
+        self.indexes: Dict[str, SortedIndex] = {}
         self.wal = None  # attached by Database when durable
         self.segment_catalog = ColumnSegmentCatalog(config)
         # reference Catalog::Initialize starts background compaction when
@@ -74,6 +76,8 @@ class Catalog:
                 raise CatalogException(f"table {name!r} does not exist")
             if self.wal is not None:
                 self.wal.log_drop_table(key)
+            for iname in [n for n, i in self.indexes.items() if i.table is t]:
+                self.indexes.pop(iname)
             for c in t.column_order:
                 col = t.columns[c]
                 for s in col.segments:
@@ -91,6 +95,41 @@ class Catalog:
             if self.wal is not None:
                 self.wal.log_create_view(key, sql)
             self.views[key] = sql
+
+    def create_index(self, name: str, table_name: str, column: str,
+                     unique: bool = False, if_not_exists: bool = False
+                     ) -> SortedIndex:
+        """Reference ART index creation (CREATE INDEX / PRIMARY KEY)."""
+        key = name.lower()
+        with self._lock:
+            if key in self.indexes:
+                if if_not_exists:
+                    return self.indexes[key]
+                raise CatalogException(f"index {name!r} already exists")
+            table = self.get_table(table_name)
+            col = column.lower()
+            if col not in table.columns:
+                raise CatalogException(
+                    f"column {column!r} not in table {table_name!r}")
+            idx = SortedIndex(key, table, col, unique)
+            idx.build()  # raises ConstraintViolation on existing duplicates
+            self.indexes[key] = idx
+            table.indexes.append(idx)
+            if self.wal is not None:
+                self.wal.log_create_index(key, table.name, col, unique)
+            return idx
+
+    def drop_index(self, name: str, if_exists: bool = False) -> None:
+        key = name.lower()
+        with self._lock:
+            idx = self.indexes.pop(key, None)
+            if idx is None:
+                if if_exists:
+                    return
+                raise CatalogException(f"index {name!r} does not exist")
+            idx.table.indexes = [i for i in idx.table.indexes if i is not idx]
+            if self.wal is not None:
+                self.wal.log_drop_index(key)
 
     def drop_view(self, name: str) -> None:
         key = name.lower()

@@ -306,10 +306,18 @@ class Executor:
         any_valid = [False] * ncols
         # single eq-conjunct fast path -> native C++ filter kernel
         eq_probe = None
+        index_hits = None
         if len(get.filters) == 1:
             p = _zonemap_probe(get.filters[0], lits)
             if p is not None and p[1] == "=" and float(p[2]).is_integer():
                 eq_probe = (p[0], int(p[2]))
+            if p is not None and p[1] == "=":
+                # index-scan rewrite (reference table_scan.cpp:388): a sorted
+                # index answers the equality probe with binary searches
+                idxo = table.index_on(get.column_ids[p[0]])
+                if idxo is not None:
+                    index_hits = dict(idxo.lookup_eq(p[2]))
+                    candidates = [i for i in candidates if i in index_hits]
         for i in candidates:
             segs = [table.segment(c, i) for c in get.column_ids]
             cols = []
@@ -319,7 +327,17 @@ class Executor:
                 cols.append((hv, hvv))
             dm = table.delete_mask(i)
             rows = None
-            if eq_probe is not None and dm is None:
+            if index_hits is not None:
+                rows = index_hits[i]
+                v = cols[p[0]][1]
+                if v is not None:  # NULL slots hold fill values: drop them
+                    rows = rows[v[rows]]
+                if dm is not None:
+                    inb = rows < len(dm)
+                    keep = np.ones(len(rows), dtype=bool)
+                    keep[inb] = ~dm[rows[inb]]
+                    rows = rows[keep]
+            if rows is None and eq_probe is not None and dm is None:
                 fcol, fval = eq_probe
                 fvals, fvalid = cols[fcol]
                 if fvalid is None and fvals.dtype == np.uint32 and 0 <= fval < (1 << 32):

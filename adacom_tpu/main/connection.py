@@ -43,9 +43,14 @@ class Connection:
             stmts, key, lits, structural = parse(sql)
         except Exception as e:
             raise SQLError(f"parse error: {e}") from e
+        from adacom_tpu.storage.index import ConstraintViolation
+
         result = None
         for i, stmt in enumerate(stmts):
-            result = self._execute_stmt(stmt, key, lits, structural, i, sql)
+            try:
+                result = self._execute_stmt(stmt, key, lits, structural, i, sql)
+            except ConstraintViolation as e:
+                raise SQLError(str(e)) from e
         return result
 
     execute = query
@@ -73,9 +78,22 @@ class Connection:
             res = self._execute_delete(stmt, lits)
         elif isinstance(stmt, ast.UpdateStmt):
             res = self._execute_update(stmt, lits)
+        elif isinstance(stmt, ast.CreateIndexStmt):
+            from adacom_tpu.storage.index import ConstraintViolation
+
+            try:
+                self.db.catalog.create_index(
+                    stmt.name, stmt.table, stmt.column, stmt.unique,
+                    stmt.if_not_exists)
+            except ConstraintViolation as e:
+                raise SQLError(str(e)) from e
+            self._bump_catalog_version()
+            res = None
         elif isinstance(stmt, ast.DropStmt):
             if stmt.kind == "view":
                 self.db.catalog.drop_view(stmt.name)
+            elif stmt.kind == "index":
+                self.db.catalog.drop_index(stmt.name, stmt.if_exists)
             else:
                 self.db.catalog.drop_table(stmt.name, stmt.if_exists)
             self._bump_catalog_version()
@@ -169,6 +187,13 @@ class Connection:
         for cname, ctype, targs in stmt.columns:
             cols.append((cname, tt.type_from_name(ctype, targs)))
         self.db.catalog.create_table(stmt.name, cols, stmt.if_not_exists)
+        # PRIMARY KEY / UNIQUE constraints become unique sorted indexes
+        # (reference: constraints create ART indexes on the table)
+        for kind, col in (stmt.constraints or ()):
+            prefix = "pk" if kind == "primary_key" else "uq"
+            self.db.catalog.create_index(
+                f"{prefix}_{stmt.name}_{col}".lower(), stmt.name, col,
+                unique=True, if_not_exists=True)
         self._bump_catalog_version()
         return None
 

@@ -192,6 +192,17 @@ class CreateTableStmt(Stmt):
     columns: List[Tuple[str, str, Optional[List[int]]]]  # (name, type, args)
     if_not_exists: bool = False
     as_select: Optional[SelectStmt] = None
+    # [(kind, column)] with kind in {"primary_key", "unique"}
+    constraints: List[Tuple[str, str]] = None
+
+
+@D
+class CreateIndexStmt(Stmt):
+    name: str
+    table: str
+    column: str
+    unique: bool = False
+    if_not_exists: bool = False
 
 
 @D

@@ -153,6 +153,13 @@ class _Parser:
             start = self.peek().pos
             sel = self.select_stmt()
             return ast.CreateViewStmt(name, self._slice_sql(start), or_replace)
+        unique_index = False
+        if self.accept_kw("UNIQUE"):
+            unique_index = True
+            self.expect_kw("INDEX")
+            return self._create_index(unique_index)
+        if self.accept_kw("INDEX"):
+            return self._create_index(unique_index)
         self.expect_kw("TABLE")
         if_not_exists = False
         if self.accept_kw("IF"):
@@ -165,8 +172,21 @@ class _Parser:
             return ast.CreateTableStmt(name, [], if_not_exists, as_select=sel)
         self.expect_op("(")
         cols = []
+        constraints = []
         while True:
-            if self.at_kw("PRIMARY", "UNIQUE", "CONSTRAINT", "FOREIGN", "CHECK"):
+            if self.at_kw("PRIMARY", "UNIQUE"):
+                kind = "primary_key" if self.at_kw("PRIMARY") else "unique"
+                self.next()
+                if kind == "primary_key":
+                    self.expect_kw("KEY")
+                if self.accept_op("("):
+                    ccols = [self.ident()]
+                    while self.accept_op(","):
+                        ccols.append(self.ident())
+                    self.expect_op(")")
+                    if len(ccols) == 1:  # composite keys: not indexed yet
+                        constraints.append((kind, ccols[0]))
+            elif self.at_kw("CONSTRAINT", "FOREIGN", "CHECK"):
                 self._skip_constraint()
             else:
                 cname = self.ident()
@@ -177,8 +197,9 @@ class _Parser:
                         self.expect_kw("NULL")
                     elif self.accept_kw("PRIMARY"):
                         self.expect_kw("KEY")
+                        constraints.append(("primary_key", cname))
                     elif self.accept_kw("UNIQUE"):
-                        pass
+                        constraints.append(("unique", cname))
                     elif self.accept_kw("DEFAULT"):
                         self.expr()
                     elif self.accept_kw("NULL"):
@@ -194,7 +215,22 @@ class _Parser:
             if not self.accept_op(","):
                 break
         self.expect_op(")")
-        return ast.CreateTableStmt(name, cols, if_not_exists)
+        return ast.CreateTableStmt(name, cols, if_not_exists,
+                                   constraints=constraints or None)
+
+    def _create_index(self, unique: bool) -> ast.CreateIndexStmt:
+        if_not_exists = False
+        if self.accept_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            if_not_exists = True
+        name = self.ident()
+        self.expect_kw("ON")
+        table = self.ident()
+        self.expect_op("(")
+        column = self.ident()
+        self.expect_op(")")
+        return ast.CreateIndexStmt(name, table, column, unique, if_not_exists)
 
     def _skip_constraint(self):
         depth = 0
@@ -297,8 +333,12 @@ class _Parser:
 
     def drop_stmt(self) -> ast.DropStmt:
         self.expect_kw("DROP")
-        kind = "view" if self.accept_kw("VIEW") else "table"
-        if kind == "table":
+        if self.accept_kw("VIEW"):
+            kind = "view"
+        elif self.accept_kw("INDEX"):
+            kind = "index"
+        else:
+            kind = "table"
             self.expect_kw("TABLE")
         if_exists = False
         if self.accept_kw("IF"):

@@ -62,6 +62,7 @@ def write_checkpoint(db, path: str) -> None:
         tinfo["deletes"] = deletes
         manifest["tables"][tname] = tinfo
     manifest["views"] = dict(db.catalog.views)
+    manifest["indexes"] = [idx.to_def() for idx in db.catalog.indexes.values()]
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f)
 
@@ -110,4 +111,7 @@ def try_load_database(db, path: str) -> bool:
                 table.mark_deleted(int(k), np.asarray(rows, dtype=np.int64))
     for vname, vsql in manifest.get("views", {}).items():
         db.catalog.views[vname] = vsql
+    for idef in manifest.get("indexes", ()):
+        db.catalog.create_index(idef["name"], idef["table"], idef["column"],
+                                idef["unique"], if_not_exists=True)
     return True

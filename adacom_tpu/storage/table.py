@@ -188,6 +188,8 @@ class Table:
         self._has_deletes = False
         # write-ahead log (attached by Catalog when the db is durable)
         self.wal = None
+        # secondary indexes (storage/index.py; reference ART per-table list)
+        self.indexes: list = []
 
     @property
     def column_types(self) -> List[tt.LogicalType]:
@@ -223,6 +225,12 @@ class Table:
                     if vals.dtype != col.ltype.np_dtype:
                         vals = vals.astype(col.ltype.np_dtype)
                 normalized[c] = vals
+            for idx in self.indexes:
+                if idx.unique:
+                    # seal staging first so the index sees all prior rows
+                    for cn in self.column_order:
+                        self.columns[cn].flush()
+                    idx.check_batch_unique(normalized[idx.column])
             if self.wal is not None:
                 # WAL stores logical content: dictionary columns as strings
                 # (the dictionary is rebuilt on replay, codes are not stable)
@@ -272,6 +280,15 @@ class Table:
             self._deletes[seg_idx] = m
         m[rows] = True
         self._has_deletes = True
+
+    def index_on(self, col: str):
+        """First index over `col`, or None (optimizer index-scan rewrite
+        probe, reference table_scan.cpp:388)."""
+        cl = col.lower()
+        for idx in self.indexes:
+            if idx.column == cl:
+                return idx
+        return None
 
     def compact_all(self):
         for c in self.column_order:

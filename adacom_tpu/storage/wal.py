@@ -94,6 +94,14 @@ class WriteAheadLog:
     def log_drop_view(self, name: str):
         self._emit({"op": "drop_view", "name": name})
 
+    def log_create_index(self, name: str, table: str, column: str,
+                         unique: bool):
+        self._emit({"op": "create_index", "name": name, "table": table,
+                    "column": column, "unique": unique})
+
+    def log_drop_index(self, name: str):
+        self._emit({"op": "drop_index", "name": name})
+
     def log_insert(self, table: str, data: Dict[str, np.ndarray],
                    validity: Optional[Dict[str, np.ndarray]]):
         arrays = {}
@@ -174,6 +182,12 @@ def replay(db, path: str) -> int:
                                    or_replace=True)
         elif op == "drop_view":
             db.catalog.views.pop(header["name"].lower(), None)
+        elif op == "create_index":
+            db.catalog.create_index(header["name"], header["table"],
+                                    header["column"], header["unique"],
+                                    if_not_exists=True)
+        elif op == "drop_index":
+            db.catalog.drop_index(header["name"], if_exists=True)
         elif op == "insert":
             table = db.catalog.get_table(header["table"])
             data, validity = {}, {}
