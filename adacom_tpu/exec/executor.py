@@ -124,6 +124,10 @@ class Executor:
     def __init__(self, database):
         self.db = database
         self.config = database.config
+        # per-operator profiling sink: id(node) -> (inclusive_s, rows_out)
+        # (reference OperatorProfiler, src/main/query_profiler.cpp; enabled
+        # by EXPLAIN ANALYZE / PRAGMA enable_profiling)
+        self.profile: Optional[Dict[int, tuple]] = None
 
     # ------------------------------------------------------------------
     def execute(self, plan: b.LogicalOp, lits: List[Any]) -> Mat:
@@ -156,6 +160,20 @@ class Executor:
                         sq.cached_value = np.unique(col)
 
     def _exec(self, node: b.LogicalOp, lits) -> Mat:
+        if self.profile is None:
+            return self._dispatch(node, lits)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        mat = self._dispatch(node, lits)
+        dt, rows = _time.perf_counter() - t0, mat.nrows
+        prev = self.profile.get(id(node))
+        if prev is not None:  # node re-executed (e.g. subquery): accumulate
+            dt, rows = dt + prev[0], rows + prev[1]
+        self.profile[id(node)] = (dt, rows)
+        return mat
+
+    def _dispatch(self, node: b.LogicalOp, lits) -> Mat:
         if isinstance(node, b.LogicalGet):
             return self._materialize_scan(node, lits)
         if isinstance(node, b.LogicalValues):

@@ -119,10 +119,13 @@ class Connection:
                 not self._in_txn:
             self.db.maybe_autocheckpoint()
         if self.db.config.enable_profiling:
-            self.last_profile = {
+            prof = self.last_profile if isinstance(stmt, ast.SelectStmt) and \
+                self.last_profile else {}
+            prof.update({
                 "statement": type(stmt).__name__,
                 "total_s": time.perf_counter() - t0,
-            }
+            })
+            self.last_profile = prof
         return res
 
     # ------------------------------------------------------------------
@@ -160,12 +163,40 @@ class Connection:
         return plan
 
     def _execute_select(self, stmt, key, lits, structural, stmt_idx) -> QueryResult:
+        profiling = self.db.config.enable_profiling
+        t0 = time.perf_counter()
         try:
             plan = self._plan_select(stmt, key, lits, structural, stmt_idx)
         except (BindError, CatalogException) as e:
             raise SQLError(str(e)) from e
-        mat = self.executor.execute(plan, lits)
-        return QueryResult(mat.names, mat.types, mat.cols, mat.valids, mat.dicts)
+        t_plan = time.perf_counter()
+        if profiling:
+            self.executor.profile = {}
+        try:
+            mat = self.executor.execute(plan, lits)
+        finally:
+            if profiling:
+                op_profile = self.executor.profile
+                self.executor.profile = None
+        if profiling:
+            # QueryProfiler parity (src/main/query_profiler.cpp): per-phase
+            # timers + per-operator tree (QueryTreeToString)
+            self.last_profile = {
+                "statement": "SelectStmt",
+                "phases": {"plan_s": t_plan - t0,
+                           "execute_s": time.perf_counter() - t_plan},
+                "operators": _render_plan(plan, profile=op_profile),
+            }
+        res = QueryResult(mat.names, mat.types, mat.cols, mat.valids, mat.dicts)
+        if self.db.config.query_verification_enabled:
+            from adacom_tpu.main.verification import (VerificationError,
+                                                      verify_select)
+
+            try:
+                verify_select(self, stmt, lits, res.fetchall())
+            except VerificationError as e:
+                raise SQLError(str(e)) from e
+        return res
 
     # ------------------------------------------------------------------
     def _execute_create_table(self, stmt: ast.CreateTableStmt, lits=()):
@@ -513,7 +544,22 @@ class Connection:
             raise SQLError("EXPLAIN supports SELECT only")
         binder = Binder(self.db.catalog, self.db.config)
         plan = optimize(binder.bind_select(stmt.target), set())
-        text = _render_plan(plan)
+        profile = None
+        if stmt.analyze:
+            # EXPLAIN ANALYZE: run the plan with per-operator timers
+            # (reference physical_explain_analyze.cpp + OperatorProfiler)
+            self.executor.profile = {}
+            try:
+                t0 = time.perf_counter()
+                self.executor.execute(plan, [])
+                total = time.perf_counter() - t0
+            finally:
+                profile = self.executor.profile
+                self.executor.profile = None
+            text = _render_plan(plan, profile=profile)
+            text += f"\nTotal Time: {total * 1e3:.3f} ms"
+        else:
+            text = _render_plan(plan)
         return QueryResult(
             ["explain"], [tt.VARCHAR],
             [np.arange(1, dtype=np.uint32)], [None],
@@ -583,7 +629,7 @@ def _const_eval(binder, e, scope):
     return ev(be)
 
 
-def _render_plan(plan, indent=0) -> str:
+def _render_plan(plan, indent=0, profile=None) -> str:
     import dataclasses as dc
 
     from adacom_tpu.sql import bound as b
@@ -595,9 +641,20 @@ def _render_plan(plan, indent=0) -> str:
         extra = f" {plan.table_name}{plan.column_ids}"
         if plan.filters:
             extra += f" filters={len(plan.filters)}"
-    lines = [f"{pad}{name}{extra}  -> {list(plan.names)}"]
+    prof = ""
+    if profile is not None:
+        entry = profile.get(id(plan))
+        if entry is not None:
+            incl, rows = entry
+            child_s = sum(
+                profile.get(id(getattr(plan, f.name)), (0.0, 0))[0]
+                for f in dc.fields(plan)
+                if isinstance(getattr(plan, f.name), b.LogicalOp))
+            prof = (f"  [rows={rows} time={incl * 1e3:.3f}ms "
+                    f"self={(incl - child_s) * 1e3:.3f}ms]")
+    lines = [f"{pad}{name}{extra}  -> {list(plan.names)}{prof}"]
     for f in dc.fields(plan):
         v = getattr(plan, f.name)
         if isinstance(v, b.LogicalOp):
-            lines.append(_render_plan(v, indent + 1))
+            lines.append(_render_plan(v, indent + 1, profile))
     return "\n".join(lines)

@@ -1,0 +1,79 @@
+"""Statement verification: logical self-checking of query results.
+
+Parity with the reference's StatementVerifier family
+(src/verification/statement_verifier.hpp:17-29 — copied / parsed /
+unoptimized / deserialized / prepared variants re-executed and compared in
+PendingStatementOrPreparedStatementInternal, client_context.cpp:643+).
+
+Variants here:
+- ``copied``      — fresh bind + full optimize from the same AST (catches
+                    plan-cache poisoning and binder state mutation);
+- ``unoptimized`` — fresh bind + only the *required* rewrites (subquery
+                    decorrelation lives in push_filters, like the reference
+                    keeps binder-level rewrites) with TopN fusion and column
+                    pruning skipped (catches optimizer wrong-results bugs).
+
+Enabled via ``SET query_verification_enabled = true`` (the reference enables
+it in debug builds / tests). Results are compared as row multisets; LIMIT
+without ORDER BY is skipped (any row subset is a correct answer).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from adacom_tpu.sql import ast
+from adacom_tpu.sql import bound as b
+from adacom_tpu.sql.binder import Binder
+from adacom_tpu.sql.optimizer import optimize, push_filters
+
+
+class VerificationError(Exception):
+    pass
+
+
+def _rows_key(result_rows: List[tuple]) -> List[str]:
+    return sorted(repr(r) for r in result_rows)
+
+
+def _has_unordered_limit(plan: b.LogicalOp) -> bool:
+    for node in b.walk(plan):
+        if isinstance(node, (b.LogicalLimit, b.LogicalTopN)):
+            return True
+    return False
+
+
+def verify_select(connection, stmt: ast.SelectStmt, lits,
+                  baseline_rows: List[tuple]) -> Optional[str]:
+    """Re-run `stmt` through verification variants and compare with the
+    baseline rows. Returns None on success, raises VerificationError on a
+    mismatch. Skips nondeterministic shapes (LIMIT without total order)."""
+    from adacom_tpu.main.result import QueryResult
+
+    base = _rows_key(baseline_rows)
+    for variant in ("copied", "unoptimized"):
+        binder = Binder(connection.db.catalog, connection.db.config)
+        plan = binder.bind_select(stmt)
+        if _has_unordered_limit(plan):
+            return None
+        if variant == "copied":
+            plan = optimize(plan, set(binder.structural))
+        else:
+            plan = push_filters(plan)  # required rewrites only
+        mat = connection.executor.execute(plan, lits)
+        rows = QueryResult(mat.names, mat.types, mat.cols, mat.valids,
+                           mat.dicts).fetchall()
+        got = _rows_key(rows)
+        if got != base:
+            raise VerificationError(
+                f"verifier [{variant}]: result mismatch "
+                f"({len(got)} vs {len(base)} rows; "
+                f"first diff: {_first_diff(got, base)})")
+    return None
+
+
+def _first_diff(a: List[str], b_: List[str]) -> str:
+    for x, y in zip(a, b_):
+        if x != y:
+            return f"{x} != {y}"
+    return "row-count mismatch"

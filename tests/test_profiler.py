@@ -1,0 +1,81 @@
+"""Statement verifier + EXPLAIN ANALYZE + profiler tests
+(reference src/verification/ + query_profiler.cpp + EXPLAIN ANALYZE)."""
+
+import numpy as np
+import pytest
+
+import adacom_tpu as at
+from adacom_tpu.main.connection import SQLError
+
+
+def _db():
+    cfg = at.DBConfig()
+    cfg.segment_rows = 4096
+    db = at.Database(config=cfg)
+    con = db.connect()
+    con.query("CREATE TABLE t(i INTEGER, g INTEGER)")
+    app = con.appender("t")
+    v = np.arange(20_000, dtype=np.int32)
+    app.append_columns({"i": v, "g": (v % 5).astype(np.int32)})
+    app.close()
+    return db, con
+
+
+def test_verifier_passes_on_correct_queries():
+    db, con = _db()
+    con.query("SET query_verification_enabled = true")
+    r = con.query(
+        "SELECT g, COUNT(*) c, SUM(i) s FROM t WHERE i < 1000 "
+        "GROUP BY g ORDER BY g").fetchall()
+    assert len(r) == 5 and r[0][1] == 200
+    r = con.query(
+        "SELECT a.g FROM t a JOIN t b ON a.i = b.i WHERE a.i = 7").fetchall()
+    assert r == [(2,)]
+    db.close()
+
+
+def test_verifier_catches_mismatch(monkeypatch):
+    db, con = _db()
+    con.query("SET query_verification_enabled = true")
+    from adacom_tpu.main import verification
+
+    orig = verification._rows_key
+
+    def corrupt(rows):
+        out = orig(rows)
+        return out + ["<corrupted>"] if len(out) else out
+
+    calls = {"n": 0}
+
+    def patched(rows):
+        calls["n"] += 1
+        # corrupt only the variant runs (2nd+ call per verify)
+        return corrupt(rows) if calls["n"] > 1 else orig(rows)
+
+    monkeypatch.setattr(verification, "_rows_key", patched)
+    with pytest.raises(SQLError, match="mismatch"):
+        con.query("SELECT COUNT(*) FROM t WHERE i < 10")
+    db.close()
+
+
+def test_explain_and_analyze():
+    db, con = _db()
+    r = con.query("EXPLAIN SELECT g, SUM(i) FROM t GROUP BY g")
+    text = r.fetchall()[0][0]
+    assert "Aggregate" in text and "Get" in text
+    r = con.query("EXPLAIN ANALYZE SELECT g, SUM(i) FROM t GROUP BY g")
+    text = r.fetchall()[0][0]
+    assert "rows=5" in text and "time=" in text and "Total Time" in text
+    db.close()
+
+
+def test_profiler_phases_and_operator_tree():
+    db, con = _db()
+    con.query("PRAGMA enable_profiling")
+    con.query("SELECT COUNT(*) FROM t WHERE i % 2 = 0")
+    p = con.last_profile
+    assert p["statement"] == "SelectStmt"
+    assert "plan_s" in p["phases"] and "execute_s" in p["phases"]
+    assert "Aggregate" in p["operators"] and "rows=1" in p["operators"]
+    assert p["total_s"] > 0
+    db.close()
