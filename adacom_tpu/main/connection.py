@@ -107,6 +107,8 @@ class Connection:
             res = None
         elif isinstance(stmt, ast.ExplainStmt):
             res = self._execute_explain(stmt)
+        elif isinstance(stmt, ast.CopyStmt):
+            res = self._execute_copy(stmt, lits)
         elif isinstance(stmt, ast.CheckpointStmt):
             self.db.checkpoint()
             res = None
@@ -538,6 +540,48 @@ class Connection:
 
     def _scalar_result(self, name, ty, value):
         return QueryResult([name], [ty], [np.asarray([value])], [None], [None])
+
+    def _execute_copy(self, stmt: ast.CopyStmt, lits=()):
+        """COPY t FROM/TO 'file' (reference physical_copy_from_file /
+        physical_copy_to_file over the parallel CSV reader)."""
+        from adacom_tpu.io import csv_io
+
+        opts = stmt.options or {}
+        delim = str(opts.get("delimiter", opts.get("delim", ",")))
+        if stmt.direction == "from":
+            table = self.db.catalog.get_table(stmt.table)
+            header = opts.get("header")
+            names, types, cols, valids = csv_io.read_csv(
+                stmt.path, header=header, delim=delim)
+            if len(cols) != len(table.column_order):
+                raise SQLError(
+                    f"COPY: file has {len(cols)} columns, table "
+                    f"{stmt.table} has {len(table.column_order)}")
+            data = dict(zip(table.column_order, cols))
+            validity = {c: v for c, v in zip(table.column_order, valids)
+                        if v is not None}
+            table.append_batch(data, validity or None)
+            table.flush()
+            n = len(cols[0]) if cols else 0
+            return self._scalar_result("count", tt.BIGINT, n)
+        # COPY ... TO
+        if stmt.select is not None:
+            sel = stmt.select
+        else:
+            self.db.catalog.get_table(stmt.table)  # existence check
+            sel = ast.SelectStmt(select_list=[(ast.Star(), None)],
+                                 from_ref=ast.BaseTable(stmt.table, None))
+        binder = Binder(self.db.catalog, self.db.config)
+        plan = optimize(binder.bind_select(sel), set())
+        mat = self.executor.execute(plan, lits)
+        res = QueryResult(mat.names, mat.types, mat.cols, mat.valids,
+                          mat.dicts)
+        rendered = [res._render_col(t, c, v, d) for t, c, v, d in
+                    zip(res.types, res._cols, res._valids, res._dicts)]
+        n = csv_io.write_csv(stmt.path, res.names, rendered,
+                             header=bool(opts.get("header", True)),
+                             delim=delim)
+        return self._scalar_result("count", tt.BIGINT, n)
 
     def _execute_explain(self, stmt: ast.ExplainStmt):
         if not isinstance(stmt.target, ast.SelectStmt):

@@ -149,6 +149,15 @@ class BaseTable(TableRef):
 
 
 @D
+class TableFunctionRef(TableRef):
+    """range(...) / read_csv(...) in FROM (reference table functions,
+    src/function/table/)."""
+    name: str
+    args: List[Expr] = None
+    alias: Optional[str] = None
+
+
+@D
 class SubqueryRef(TableRef):
     subquery: "SelectStmt"
     alias: str
@@ -263,6 +272,16 @@ class SetStmt(Stmt):
 class ExplainStmt(Stmt):
     target: Stmt
     analyze: bool = False
+
+
+@D
+class CopyStmt(Stmt):
+    """COPY t FROM/TO 'file' (reference physical_copy_{to_file,from_file})."""
+    table: Optional[str]
+    select: Optional[SelectStmt]
+    path: str
+    direction: str  # 'from' | 'to'
+    options: dict = None
 
 
 @D

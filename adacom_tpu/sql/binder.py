@@ -676,9 +676,63 @@ class Binder:
         if isinstance(ref, ast.SubqueryRef):
             plan = self.bind_select(ref.subquery)
             return plan, Scope.from_op(plan, ref.alias)
+        if isinstance(ref, ast.TableFunctionRef):
+            return self._bind_table_function(ref)
         if isinstance(ref, ast.JoinRef):
             return self._bind_join(ref)
         raise BindError(f"unsupported table ref {ref}")
+
+    def _bind_table_function(self, ref: ast.TableFunctionRef):
+        """Table functions in FROM (reference src/function/table/: `range`
+        at range.cpp, `read_csv`/`read_csv_auto` at read_csv.cpp). The
+        function output materializes into an anonymous in-memory table so
+        every scan path (zonemaps, codecs, fused kernels) applies."""
+        import numpy as np
+
+        name = ref.name.lower()
+        alias = ref.alias or name
+        args = []
+        for a in ref.args or []:
+            if not isinstance(a, ast.Literal):
+                raise BindError("table function arguments must be literals")
+            v = a.value
+            args.append(v.strip("'\"") if isinstance(v, str) else v)
+        if name == "range":
+            if not 1 <= len(args) <= 3:
+                raise BindError("range(start, stop[, step])")
+            vals = np.arange(*[int(x) for x in args], dtype=np.int64)
+            return self._anon_table_plan(
+                alias, ["range"], [tt.BIGINT], [vals], [None])
+        if name in ("read_csv", "read_csv_auto"):
+            from adacom_tpu.io import csv_io
+
+            if not args:
+                raise BindError("read_csv(path)")
+            header = args[1] if len(args) > 1 else None
+            if isinstance(header, str):
+                header = header.lower() == "true"
+            names, types, cols, valids = csv_io.read_csv(str(args[0]),
+                                                         header=header)
+            if not names:
+                raise BindError(f"empty CSV: {args[0]}")
+            return self._anon_table_plan(alias, names, types, cols, valids)
+        raise BindError(f"unknown table function {ref.name!r}")
+
+    def _anon_table_plan(self, alias, names, types, cols, valids):
+        from adacom_tpu.storage.table import Table
+
+        lower = [n.lower() for n in names]
+        table = Table(alias.lower(), list(zip(lower, types)), self.config,
+                      self.catalog.bm, self.catalog.segment_catalog)
+        validity = {n: v for n, v in zip(lower, valids) if v is not None}
+        table.append_batch(dict(zip(lower, cols)), validity or None)
+        table.flush()
+        plan = b.LogicalGet(
+            names=lower, types=list(types), table=table,
+            table_name=table.name, column_ids=list(lower),
+        )
+        plan.dicts = [table.columns[c].dictionary for c in lower]
+        return plan, Scope.from_op(plan, alias)
 
     def _bind_join(self, ref: ast.JoinRef) -> Tuple[b.LogicalOp, Scope]:
         lplan, lscope = self.bind_table_ref(ref.left)

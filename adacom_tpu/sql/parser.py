@@ -121,6 +121,8 @@ class _Parser:
         if self.at_kw("ROLLBACK"):
             self.next()
             return ast.TransactionStmt("rollback")
+        if self.at_kw("COPY"):
+            return self.copy_stmt()
         if self.at_kw("PRAGMA"):
             return self.pragma_stmt()
         if self.at_kw("SET"):
@@ -330,6 +332,39 @@ class _Parser:
         name = self.ident()
         where = self.expr() if self.accept_kw("WHERE") else None
         return ast.DeleteStmt(name, where)
+
+    def copy_stmt(self) -> ast.CopyStmt:
+        self.expect_kw("COPY")
+        table = None
+        select = None
+        if self.accept_op("("):
+            select = self.select_stmt()
+            self.expect_op(")")
+        else:
+            table = self.ident()
+        if self.accept_kw("FROM"):
+            direction = "from"
+        else:
+            self.expect_kw("TO")
+            direction = "to"
+        t = self.next()
+        path = str(self._mark(t).value).strip("'\"")
+        options = {}
+        self.accept_kw("WITH")
+        if self.accept_op("("):
+            while not self.accept_op(")"):
+                key = self.ident().lower()
+                if self.at(OP, ",") or self.at(OP, ")"):
+                    options[key] = True
+                else:
+                    v = self.next()
+                    val = v.value
+                    if isinstance(val, str):
+                        vs = val.strip("'\"")
+                        val = {"true": True, "false": False}.get(vs.lower(), vs)
+                    options[key] = val
+                self.accept_op(",")
+        return ast.CopyStmt(table, select, path, direction, options)
 
     def drop_stmt(self) -> ast.DropStmt:
         self.expect_kw("DROP")
@@ -585,6 +620,23 @@ class _Parser:
                 alias = self.ident()
             return ast.SubqueryRef(sub, alias)
         name = self.ident()
+        if self.at(OP, "("):
+            # table function: range(...) / read_csv(...)
+            self.expect_op("(")
+            args = []
+            while not self.accept_op(")"):
+                args.append(self.expr())
+                self.accept_op(",")
+            # argument values shape the bound schema -> structural slots
+            for a in args:
+                if isinstance(a, ast.Literal) and a.param is not None:
+                    self.structural.add(a.param)
+            alias = None
+            if self.accept_kw("AS"):
+                alias = self.ident()
+            elif self.peek().kind == IDENT:
+                alias = self.ident()
+            return ast.TableFunctionRef(name, args, alias)
         alias = None
         if self.accept_kw("AS"):
             alias = self.ident()

@@ -1,0 +1,142 @@
+"""Client-surface tests: COPY/read_csv, table functions, DB-API, shell.
+
+Parity with the reference's client layers: COPY to/from file, read_csv /
+range table functions (src/function/table/), pythonpkg-style DB-API binding
+(tools/pythonpkg), interactive shell (tools/shell)."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+import adacom_tpu as at
+from adacom_tpu import dbapi
+from adacom_tpu.main.connection import SQLError
+
+
+def _db():
+    cfg = at.DBConfig()
+    cfg.segment_rows = 4096
+    db = at.Database(config=cfg)
+    return db, db.connect()
+
+
+# ---------------------------------------------------------------- CSV/COPY
+
+
+def test_copy_roundtrip(tmp_path):
+    db, con = _db()
+    con.query("CREATE TABLE t(i BIGINT, x DOUBLE, s VARCHAR)")
+    app = con.appender("t")
+    app.append_columns({
+        "i": np.arange(5_000, dtype=np.int64),
+        "x": np.round(np.arange(5_000) * 0.5, 1),
+        "s": np.asarray([f"s{k % 11}" for k in range(5_000)], dtype=object),
+    })
+    app.close()
+    p = str(tmp_path / "out.csv")
+    n = con.query(f"COPY t TO '{p}' (HEADER)").scalar()
+    assert n == 5_000
+
+    con.query("CREATE TABLE t2(i BIGINT, x DOUBLE, s VARCHAR)")
+    n = con.query(f"COPY t2 FROM '{p}'").scalar()
+    assert n == 5_000
+    a = con.query("SELECT SUM(i), COUNT(*) FROM t").fetchall()
+    b_ = con.query("SELECT SUM(i), COUNT(*) FROM t2").fetchall()
+    assert a == b_
+    r = con.query("SELECT s, COUNT(*) FROM t2 GROUP BY s ORDER BY s LIMIT 2").fetchall()
+    assert r[0][0] == "s0"
+    db.close()
+
+
+def test_copy_select_to(tmp_path):
+    db, con = _db()
+    con.query("CREATE TABLE t(i INTEGER)")
+    con.query("INSERT INTO t VALUES (3), (1), (2)")
+    p = str(tmp_path / "q.csv")
+    con.query(f"COPY (SELECT i * 10 AS v FROM t ORDER BY i) TO '{p}'")
+    lines = open(p).read().strip().splitlines()
+    assert lines == ["v", "10", "20", "30"]
+    db.close()
+
+
+def test_read_csv_table_function(tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("a,b,c\n1,1.5,x\n2,2.5,y\n3,,z\n")
+    db, con = _db()
+    r = con.query(f"SELECT a, b, c FROM read_csv('{p}') ORDER BY a").fetchall()
+    assert r[0] == (1, 1.5, "x") and r[2][0] == 3 and r[2][1] is None
+    s = con.query(f"SELECT SUM(a) FROM read_csv('{p}') WHERE c <> 'y'").scalar()
+    assert s == 4
+    db.close()
+
+
+def test_range_table_function():
+    db, con = _db()
+    assert con.query("SELECT COUNT(*) FROM range(100)").scalar() == 100
+    assert con.query("SELECT SUM(range) FROM range(5, 10)").scalar() == 35
+    r = con.query("SELECT range FROM range(0, 10, 3) ORDER BY range").fetchall()
+    assert [x[0] for x in r] == [0, 3, 6, 9]
+    db.close()
+
+
+def test_create_table_as_read_csv(tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("k,v\n1,10\n2,20\n")
+    db, con = _db()
+    con.query(f"CREATE TABLE imported AS SELECT * FROM read_csv('{p}')")
+    assert con.query("SELECT SUM(v) FROM imported").scalar() == 30
+    db.close()
+
+
+# ---------------------------------------------------------------- DB-API
+
+
+def test_dbapi_basic():
+    con = dbapi.connect()
+    cur = con.cursor()
+    cur.execute("CREATE TABLE t(i INTEGER, s VARCHAR)")
+    cur.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(1, "a"), (2, "it's"), (None, "n")])
+    cur.execute("SELECT i, s FROM t ORDER BY s")
+    assert cur.rowcount == 3
+    assert cur.description[0][0] == "i"
+    rows = cur.fetchall()
+    assert (1, "a") in rows and (2, "it's") in rows
+    cur.execute("SELECT i FROM t WHERE i = ?", (2,))
+    assert cur.fetchone() == (2,)
+    assert cur.fetchone() is None
+    with pytest.raises(dbapi.DatabaseError):
+        cur.execute("SELECT nope FROM t")
+    con.close()
+
+
+def test_dbapi_context_and_iteration():
+    with dbapi.connect() as con:
+        con.execute("CREATE TABLE t(i INTEGER)")
+        con.execute("INSERT INTO t VALUES (1), (2), (3)")
+        got = [r[0] for r in con.execute("SELECT i FROM t ORDER BY i")]
+        assert got == [1, 2, 3]
+
+
+# ---------------------------------------------------------------- shell
+
+
+def test_shell_pipe(monkeypatch, capsys, tmp_path):
+    from adacom_tpu import shell
+
+    sh = shell.Shell()
+    sh.mode = "csv"
+    sh.run_sql("CREATE TABLE t(i INTEGER); INSERT INTO t VALUES (1), (2);")
+    sh.run_sql("SELECT i, i * 2 AS d FROM t ORDER BY i;")
+    out = capsys.readouterr().out
+    assert "i,d" in out and "1,2" in out and "2,4" in out
+    assert sh.dot_command(".tables")
+    out = capsys.readouterr().out
+    assert "t" in out
+    assert sh.dot_command(".schema t")
+    out = capsys.readouterr().out
+    assert "CREATE TABLE t" in out
+    assert not sh.dot_command(".quit")
+    sh.db.close()
