@@ -107,6 +107,9 @@ class DBConfig:
             self.checkpoint_abort = v
         elif key == "threads":
             self.threads = int(value)
+            from adacom_tpu.parallel.scheduler import TaskScheduler
+
+            TaskScheduler.get().set_threads(self.threads)
         elif key == "force_compression":
             v = str(value).strip("'\"").lower()
             self.force_compression = None if v in ("", "auto", "none") else v

@@ -120,6 +120,10 @@ class ExecError(Exception):
     pass
 
 
+class _FallbackToDevice(Exception):
+    """Internal: a host morsel hit a non-numpy path; rerun on device."""
+
+
 class Executor:
     def __init__(self, database):
         self.db = database
@@ -336,7 +340,9 @@ class Executor:
                 if idxo is not None:
                     index_hits = dict(idxo.lookup_eq(p[2]))
                     candidates = [i for i in candidates if i in index_hits]
-        for i in candidates:
+        def scan_morsel(i):
+            """One segment = one morsel (reference NextParallelScan hands
+            out one row group per task, row_group_collection.cpp:112)."""
             segs = [table.segment(c, i) for c in get.column_ids]
             cols = []
             for s in segs:
@@ -367,9 +373,9 @@ class Executor:
                     try:
                         fv, fm = filt.fn(cols, params)
                     except Exception:
-                        return None
+                        raise _FallbackToDevice()
                     if not isinstance(fv, np.ndarray):
-                        return None
+                        raise _FallbackToDevice()
                     mask = fv
                     if fm is not None:
                         mask = mask & fm
@@ -382,6 +388,16 @@ class Executor:
                     dmx[: min(len(dm), len(mask))] = dm[: len(mask)]
                     mask = mask & ~dmx
                 rows = np.nonzero(mask)[0]
+            return cols, rows
+
+        from adacom_tpu.parallel.scheduler import TaskScheduler
+
+        try:
+            results = TaskScheduler.get().map_segments(
+                scan_morsel, candidates, threads=self.config.threads)
+        except _FallbackToDevice:
+            return None
+        for cols, rows in results:
             for c in range(ncols):
                 per_col[c].append(cols[c][0][rows])
                 v = cols[c][1]
