@@ -921,8 +921,13 @@ class Executor:
                     v = v * v
                 if valid is not None:
                     v = np.where(valid, v, 0)
-                out = np.zeros(n_groups, dtype=acc)
-                np.add.at(out, gid, v)
+                if np.dtype(acc) in (np.dtype(np.int64), np.dtype(np.float64)):
+                    from adacom_tpu import native as _native
+
+                    out = _native.group_sum(gid, v, n_groups).astype(acc)
+                else:
+                    out = np.zeros(n_groups, dtype=acc)
+                    np.add.at(out, gid, v)
                 prim.append(out)
             elif kind in ("min", "max"):
                 v = vals.astype(acc)
@@ -1126,6 +1131,12 @@ class Executor:
             keys.append(arr)
         if not keys:
             return np.arange(mat.nrows)
+        if len(keys) == 1 and len(keys[0]) >= 4096:
+            u = _order_preserving_u64(keys[0])
+            if u is not None:
+                from adacom_tpu import native as _native
+
+                return _native.argsort_u64(u)  # LSD radix (RadixSort parity)
         idx = np.lexsort(keys)
         return idx
 
@@ -1670,10 +1681,32 @@ def _row_keys(cols: List[np.ndarray]) -> np.ndarray:
     return h
 
 
+def _order_preserving_u64(arr: np.ndarray) -> Optional[np.ndarray]:
+    """Map a sort key to u64 preserving order (reference key normalization
+    to byte-comparable rows, src/common/sort/sort_state.cpp)."""
+    if arr.dtype.kind == "i":
+        return arr.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+    if arr.dtype.kind == "u":
+        return arr.astype(np.uint64)
+    if arr.dtype == np.float64:
+        bits = arr.view(np.uint64)
+        neg = (bits >> np.uint64(63)).astype(bool)
+        return np.where(neg, ~bits, bits ^ np.uint64(1 << 63))
+    return None
+
+
 def _unique_rows(key_arrays: List[np.ndarray]):
-    """Group-by factorization: returns (unique col arrays, group ids)."""
+    """Group-by factorization: returns (unique col arrays, group ids).
+
+    Uses the native open-addressing hash table (GroupedAggregateHashTable
+    parity, O(n)) instead of a sort-based np.unique; groups come out in
+    first-occurrence order (SQL imposes no group order)."""
+    from adacom_tpu import native as _native
+
     h = _row_keys(key_arrays)
-    uniq_h, first_idx, gid = np.unique(h, return_index=True, return_inverse=True)
+    if h.dtype != np.int64:
+        h = h.view(np.int64) if h.dtype.itemsize == 8 else h.astype(np.int64)
+    gid, first_idx = _native.groupby_i64(h)
     uniq_cols = [c[first_idx] for c in key_arrays]
     return uniq_cols, gid
 

@@ -26,6 +26,8 @@ _int = ctypes.c_int
 _dbl = ctypes.c_double
 _p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_p_u64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+_p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -59,6 +61,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.adacom_packed_filter_eq_u32.argtypes = [_p_u32, _i64, _int, _u32, _u32, _p_i64]
     lib.adacom_packed_filter_eq_u32.restype = _i64
     lib.adacom_zipf_sample.argtypes = [_u64, _dbl, _u64, _i64, _p_i64]
+    lib.adacom_groupby_i64.argtypes = [_p_i64, _i64, _p_i64, _p_i64]
+    lib.adacom_groupby_i64.restype = _i64
+    lib.adacom_group_sum_i64.argtypes = [_p_i64, _p_i64, _i64, _p_i64]
+    lib.adacom_group_sum_f64.argtypes = [_p_i64, _p_f64, _i64, _p_f64]
+    lib.adacom_argsort_u64.argtypes = [_p_u64, _i64, _p_i64]
     _LIB = lib
     return lib
 
@@ -138,6 +145,65 @@ def packed_filter_eq_u32(words: np.ndarray, count: int, width: int,
     m = lib.adacom_packed_filter_eq_u32(words, count, width,
                                         np.uint32(min_factor), np.uint32(v), idx)
     return idx[:m]
+
+
+# ---------------- grouped aggregation / sort ----------------
+
+
+def groupby_i64(keys: np.ndarray):
+    """Hash-table factorization (GroupedAggregateHashTable parity): returns
+    (gid per row, first-occurrence row index per group) in first-seen
+    group order."""
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    lib = _load()
+    if lib is None:
+        _, first_idx, gid = np.unique(keys, return_index=True,
+                                      return_inverse=True)
+        # re-rank to first-occurrence order for determinism parity
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        return rank[gid].astype(np.int64), first_idx[order]
+    n = len(keys)
+    gid = np.empty(n, dtype=np.int64)
+    first = np.empty(n, dtype=np.int64)
+    n_groups = lib.adacom_groupby_i64(keys, n, gid, first)
+    return gid, first[:n_groups]
+
+
+def group_sum(gid: np.ndarray, vals: np.ndarray, n_groups: int) -> np.ndarray:
+    """Exact grouped sum (int64 accumulators for integer/decimal inputs)."""
+    gid = np.ascontiguousarray(gid, dtype=np.int64)
+    lib = _load()
+    if vals.dtype.kind in "iu":
+        vals = np.ascontiguousarray(vals, dtype=np.int64)
+        if lib is None:
+            out = np.zeros(n_groups, dtype=np.int64)
+            np.add.at(out, gid, vals)
+            return out
+        out = np.zeros(n_groups, dtype=np.int64)
+        lib.adacom_group_sum_i64(gid, vals, len(vals), out)
+        return out
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    if lib is None:
+        out = np.zeros(n_groups, dtype=np.float64)
+        np.add.at(out, gid, vals)
+        return out
+    out = np.zeros(n_groups, dtype=np.float64)
+    lib.adacom_group_sum_f64(gid, vals, len(vals), out)
+    return out
+
+
+def argsort_u64(keys: np.ndarray) -> np.ndarray:
+    """Stable LSD radix argsort (reference RadixSort parity). Keys must be
+    order-preserving u64 (caller maps signed/float)."""
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    lib = _load()
+    if lib is None:
+        return np.argsort(keys, kind="stable")
+    out = np.empty(len(keys), dtype=np.int64)
+    lib.adacom_argsort_u64(keys, len(keys), out)
+    return out
 
 
 # ---------------- workloads ----------------

@@ -20,6 +20,7 @@
 #include <cmath>
 #include <algorithm>
 #include <random>
+#include <vector>
 
 extern "C" {
 
@@ -192,6 +193,102 @@ void adacom_zipf_sample(uint64_t n, double q, uint64_t seed, int64_t n_out,
             }
         }
     }
+}
+
+// ----------------------------------------------------------------------
+// grouped aggregation hash table (reference GroupedAggregateHashTable,
+// src/execution/aggregate_hashtable.cpp: linear probing, power-of-two
+// capacity, FindOrCreateGroups). Single 64-bit key column — the engine
+// hash-combines multi-column keys into one u64 before calling in.
+// ----------------------------------------------------------------------
+
+static inline uint64_t splitmix64(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ull;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+    return x ^ (x >> 31);
+}
+
+// Returns n_groups. gid_out[n] gets the group id per row (first-occurrence
+// order); first_row_out[n_groups] the row index where each group first
+// appeared (caller gathers the unique key values from it).
+int64_t adacom_groupby_i64(const int64_t* keys, int64_t n,
+                           int64_t* gid_out, int64_t* first_row_out) {
+    if (n == 0) return 0;
+    uint64_t cap = 16;
+    while (cap < (uint64_t)n * 2) cap <<= 1;
+    const uint64_t mask = cap - 1;
+    std::vector<int64_t> slot_gid(cap, -1);
+    std::vector<int64_t> slot_key(cap, 0);
+    int64_t n_groups = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t k = keys[i];
+        uint64_t pos = splitmix64((uint64_t)k) & mask;
+        while (true) {
+            int64_t g = slot_gid[pos];
+            if (g < 0) {
+                slot_gid[pos] = n_groups;
+                slot_key[pos] = k;
+                first_row_out[n_groups] = i;
+                gid_out[i] = n_groups;
+                ++n_groups;
+                break;
+            }
+            if (slot_key[pos] == k) {
+                gid_out[i] = g;
+                break;
+            }
+            pos = (pos + 1) & mask;  // linear probe
+        }
+    }
+    return n_groups;
+}
+
+// exact int64 grouped sum (hugeint-accumulator analogue for decimals)
+void adacom_group_sum_i64(const int64_t* gid, const int64_t* vals, int64_t n,
+                          int64_t* out /* prezeroed, n_groups */) {
+    for (int64_t i = 0; i < n; ++i) out[gid[i]] += vals[i];
+}
+
+void adacom_group_sum_f64(const int64_t* gid, const double* vals, int64_t n,
+                          double* out) {
+    for (int64_t i = 0; i < n; ++i) out[gid[i]] += vals[i];
+}
+
+// ----------------------------------------------------------------------
+// LSD radix argsort over u64 keys (reference RadixSort,
+// src/common/sort/radix_sort.cpp: counting sort per digit). Caller maps
+// signed/float keys into order-preserving u64 first. Skips digits whose
+// histogram is a single bucket (the reference's zero-byte skip).
+// ----------------------------------------------------------------------
+
+void adacom_argsort_u64(const uint64_t* keys, int64_t n, int64_t* idx_out) {
+    std::vector<int64_t> tmp(n);
+    int64_t* src = idx_out;
+    int64_t* dst = tmp.data();
+    for (int64_t i = 0; i < n; ++i) src[i] = i;
+    int64_t hist[256];
+    for (int pass = 0; pass < 8; ++pass) {
+        const int shift = pass * 8;
+        std::fill(hist, hist + 256, 0);
+        for (int64_t i = 0; i < n; ++i)
+            ++hist[(keys[src[i]] >> shift) & 0xFF];
+        bool single = false;
+        for (int b = 0; b < 256; ++b)
+            if (hist[b] == n) { single = true; break; }
+        if (single) continue;
+        int64_t sum = 0;
+        for (int b = 0; b < 256; ++b) {
+            int64_t c = hist[b];
+            hist[b] = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < n; ++i)
+            dst[hist[(keys[src[i]] >> shift) & 0xFF]++] = src[i];
+        std::swap(src, dst);
+    }
+    if (src != idx_out)
+        std::copy(src, src + n, idx_out);
 }
 
 }  // extern "C"

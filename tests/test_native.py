@@ -63,3 +63,43 @@ def test_native_zipf():
     assert s.min() >= 1 and s.max() <= 10_000
     vals, counts = np.unique(s, return_counts=True)
     assert vals[np.argmax(counts)] <= 3
+
+
+def test_groupby_i64_matches_unique():
+    import numpy as np
+    from adacom_tpu import native
+
+    keys = np.random.default_rng(3).integers(-50, 50, 100_000).astype(np.int64)
+    gid, first = native.groupby_i64(keys)
+    assert len(first) == len(np.unique(keys))
+    # every row's gid maps back to its own key
+    uniq_vals = keys[first]
+    assert (uniq_vals[gid] == keys).all()
+    # first-occurrence order
+    assert (np.sort(first) == first).all()
+
+
+def test_group_sum_exact():
+    import numpy as np
+    from adacom_tpu import native
+
+    gid = np.random.default_rng(4).integers(0, 7, 50_000).astype(np.int64)
+    vals = np.random.default_rng(5).integers(-2**40, 2**40, 50_000)
+    out = native.group_sum(gid, vals, 7)
+    exp = np.asarray([vals[gid == g].sum() for g in range(7)])
+    assert (out == exp).all()
+
+
+def test_argsort_u64_radix():
+    import numpy as np
+    from adacom_tpu import native
+
+    keys = np.random.default_rng(6).integers(0, 2**63, 200_000).astype(np.uint64)
+    idx = native.argsort_u64(keys)
+    assert (np.diff(keys[idx].astype(np.int64)) >= 0).all()
+    # stability: equal keys keep row order
+    keys2 = (np.arange(100_000) % 17).astype(np.uint64)
+    idx2 = native.argsort_u64(keys2)
+    for g in (0, 5, 16):
+        rows = idx2[keys2[idx2] == g]
+        assert (np.diff(rows) > 0).all()
