@@ -192,6 +192,148 @@ def make_distributed_groupby_sum(mesh, capacity: int, domain: int):
     return jax.jit(sharded)
 
 
+def make_distributed_groupby_preagg(mesh, domain: int):
+    """Skew-immune distributed group-by for dense key domains: each device
+    pre-aggregates its local rows into a (domain,) dense partial, then one
+    psum merges — no all_to_all, no per-key routing, so a 99%-hot key costs
+    the same as a uniform one (the classic combiner fix for skewed
+    shuffles; the reference's perfect-hash aggregate analogue,
+    physical_perfecthash_aggregate, distributed)."""
+
+    def device_body(keys, valid, values):
+        gid = jnp.where(valid, keys.astype(jnp.int32), domain)
+        sums = jnp.zeros((domain + 1,), values.dtype).at[gid].add(
+            jnp.where(valid, values, jnp.zeros((), values.dtype)))[:domain]
+        cnts = jnp.zeros((domain + 1,), jnp.int64).at[gid].add(
+            valid.astype(jnp.int64))[:domain]
+        return jax.lax.psum(sums, SEG_AXIS), jax.lax.psum(cnts, SEG_AXIS)
+
+    sharded = shard_map(
+        device_body, mesh=mesh,
+        in_specs=(P(SEG_AXIS), P(SEG_AXIS), P(SEG_AXIS)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded)
+
+
+# ======================================================================
+# distributed hash join (shuffle join: repartition both sides, join local)
+# ======================================================================
+
+
+def make_distributed_join(mesh, capacity: int):
+    """Build a jitted SPMD equi-join for a unique-key build side (PK-FK,
+    the reference JoinHashTable's perfect/unique fast path distributed).
+
+    Both sides hash-repartition by key over the mesh (all_to_all on
+    fixed-capacity bins), so matching keys land on the same device; the
+    local join sorts the build partition once and answers probes with a
+    searchsorted binary search — static shapes end to end, no dynamic
+    hash-table growth (SURVEY.md §7 hard part #1).
+
+    fn(build_keys, build_valid, build_vals, probe_keys, probe_valid,
+       probe_vals) -> (matched(bool), build_val_for_probe, probe_vals,
+       probe_keys) all sharded like the probe side after repartition.
+    """
+    n_dev = mesh.devices.size
+
+    def repart(keys, valid, *payloads):
+        h = _hash64(keys)
+        dest = (h % np.uint64(n_dev)).astype(jnp.int32)
+        dest = jnp.where(valid, dest, n_dev)
+        slot = _rank_within(dest, n_dev + 1, keys.shape[0])
+        drop = (dest >= n_dev) | (slot >= capacity)
+        target = jnp.where(drop, n_dev * capacity,
+                           dest * capacity + jnp.minimum(slot, capacity - 1))
+
+        def scatter(x, fill):
+            out = jnp.full((n_dev * capacity + 1,), fill, x.dtype)
+            out = out.at[target].set(x, mode="drop")
+            return out[:-1].reshape(n_dev, capacity)
+
+        outs = [scatter(keys, jnp.zeros((), keys.dtype)),
+                scatter(valid & ~drop, jnp.zeros((), jnp.bool_))]
+        outs += [scatter(x, jnp.zeros((), x.dtype)) for x in payloads]
+        return [jax.lax.all_to_all(o, SEG_AXIS, 0, 0, tiled=True).reshape(-1)
+                for o in outs]
+
+    def device_body(bk, bv, bx, pk, pv, px):
+        bk_r, bv_r, bx_r = repart(bk, bv, bx)
+        pk_r, pv_r, px_r = repart(pk, pv, px)
+        # local join: sort build partition, binary-search each probe key
+        sort_key = jnp.where(bv_r, bk_r, jnp.iinfo(bk_r.dtype).max)
+        order = jnp.argsort(sort_key)
+        sk = sort_key[order]
+        sx = bx_r[order]
+        pos = jnp.searchsorted(sk, pk_r)
+        pos = jnp.minimum(pos, sk.shape[0] - 1)
+        matched = pv_r & (sk[pos] == pk_r)
+        return matched, jnp.where(matched, sx[pos], 0), px_r, pk_r
+
+    sharded = shard_map(
+        device_body, mesh=mesh,
+        in_specs=tuple(P(SEG_AXIS) for _ in range(6)),
+        out_specs=tuple(P(SEG_AXIS) for _ in range(4)),
+    )
+    return jax.jit(sharded)
+
+
+# ======================================================================
+# distributed top-k (global ORDER BY ... LIMIT k merge)
+# ======================================================================
+
+
+def make_distributed_topk(mesh, k: int, largest: bool = True):
+    """Per-device lax.top_k over local rows, all_gather the n_dev*k
+    candidates, final top_k replicated — the reference's per-block heap +
+    merge (PhysicalTopN) on ICI collectives.
+
+    fn(values sharded, valid sharded) -> (top values, global row ids)."""
+
+    def device_body(values, valid, base):
+        n_local = values.shape[0]
+        neg = jnp.asarray(-(2 ** 62), values.dtype)
+        v = values if largest else -values
+        v = jnp.where(valid, v, neg)
+        loc_v, loc_i = jax.lax.top_k(v, min(k, n_local))
+        # global row ids: device offset + local index
+        gid = base + loc_i.astype(jnp.int64)
+        all_v = jax.lax.all_gather(loc_v, SEG_AXIS).reshape(-1)
+        all_g = jax.lax.all_gather(gid, SEG_AXIS).reshape(-1)
+        fin_v, fin_i = jax.lax.top_k(all_v, k)
+        out_v = fin_v if largest else -fin_v
+        return out_v, all_g[fin_i]
+
+    def wrapper(values, valid):
+        n_local = values.shape[0]  # per-device after sharding
+
+        def body(v, m):
+            dev = jax.lax.axis_index(SEG_AXIS).astype(jnp.int64)
+            return device_body(v, m, dev * (v.shape[0]))
+
+        return shard_map(body, mesh=mesh,
+                         in_specs=(P(SEG_AXIS), P(SEG_AXIS)),
+                         out_specs=(P(), P()),
+                         check_vma=False)(values, valid)
+
+    return jax.jit(wrapper)
+
+
+def sample_hot_keys(keys: np.ndarray, n_dev: int, sample: int = 65536,
+                    hot_factor: float = 4.0) -> np.ndarray:
+    """Skew planner: sample the key stream and return keys whose estimated
+    frequency exceeds hot_factor / n_dev of all rows (these overflow a
+    single device's bin; the caller handles them via broadcast or salting
+    — SURVEY.md §5.8 skew-aware splitting)."""
+    keys = np.asarray(keys)
+    if len(keys) > sample:
+        idx = np.random.default_rng(0).integers(0, len(keys), sample)
+        keys = keys[idx]
+    uniq, cnt = np.unique(keys, return_counts=True)
+    thresh = hot_factor * len(keys) / max(1, n_dev)
+    return uniq[cnt > thresh]
+
+
 def broadcast_small(mesh, arr):
     """Replicate a small build side to all devices (broadcast join side)."""
     return jax.device_put(arr, NamedSharding(mesh, P()))

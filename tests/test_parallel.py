@@ -107,3 +107,60 @@ def test_distributed_groupby_sum(mesh8, rng):
     np.add.at(exp_cnts, keys[valid], 1)
     np.testing.assert_array_equal(sums, exp_sums)
     np.testing.assert_array_equal(cnts, exp_cnts)
+
+
+def test_distributed_join(mesh8):
+    rng = np.random.default_rng(12)
+    nb, npr = 512, 2048
+    build_keys = np.arange(nb, dtype=np.int64)
+    build_vals = build_keys * 3 + 1
+    probe_keys = rng.integers(0, nb * 2, npr).astype(np.int64)
+    probe_vals = np.arange(npr, dtype=np.int64)
+    join = pops.make_distributed_join(mesh8, capacity=npr)
+    matched, bx, px, pk = join(
+        pmesh.shard_leading(mesh8, jnp.asarray(build_keys)),
+        pmesh.shard_leading(mesh8, jnp.ones(nb, bool)),
+        pmesh.shard_leading(mesh8, jnp.asarray(build_vals)),
+        pmesh.shard_leading(mesh8, jnp.asarray(probe_keys)),
+        pmesh.shard_leading(mesh8, jnp.ones(npr, bool)),
+        pmesh.shard_leading(mesh8, jnp.asarray(probe_vals)),
+    )
+    m = np.asarray(matched)
+    assert m.sum() == (probe_keys < nb).sum()
+    np.testing.assert_array_equal(np.asarray(bx)[m], np.asarray(pk)[m] * 3 + 1)
+
+
+def test_distributed_topk(mesh8):
+    rng = np.random.default_rng(13)
+    n = 4096
+    vals = rng.permutation(n).astype(np.int64)
+    topk = pops.make_distributed_topk(mesh8, k=16)
+    tv, tg = topk(pmesh.shard_leading(mesh8, jnp.asarray(vals)),
+                  pmesh.shard_leading(mesh8, jnp.ones(n, bool)))
+    np.testing.assert_array_equal(np.asarray(tv), np.arange(n - 1, n - 17, -1))
+    np.testing.assert_array_equal(vals[np.asarray(tg)], np.asarray(tv))
+
+
+def test_groupby_preagg_skew_immune(mesh8):
+    # 95% of rows share one key: the combiner path must stay exact
+    rng = np.random.default_rng(14)
+    n = 8192
+    domain = 16
+    keys = np.where(rng.random(n) < 0.95, 3,
+                    rng.integers(0, domain, n)).astype(np.int64)
+    vals = rng.integers(-100, 100, n).astype(np.int64)
+    gb = pops.make_distributed_groupby_preagg(mesh8, domain=domain)
+    sums, cnts = gb(pmesh.shard_leading(mesh8, jnp.asarray(keys)),
+                    pmesh.shard_leading(mesh8, jnp.ones(n, bool)),
+                    pmesh.shard_leading(mesh8, jnp.asarray(vals)))
+    exp = np.zeros(domain, np.int64)
+    np.add.at(exp, keys, vals)
+    np.testing.assert_array_equal(np.asarray(sums), exp)
+
+
+def test_sample_hot_keys():
+    rng = np.random.default_rng(15)
+    keys = np.where(rng.random(100_000) < 0.6, 42,
+                    rng.integers(0, 10_000, 100_000)).astype(np.int64)
+    hot = pops.sample_hot_keys(keys, n_dev=8)
+    assert 42 in hot and len(hot) <= 4
