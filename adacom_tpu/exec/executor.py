@@ -643,12 +643,52 @@ class Executor:
                 si = len(specs)
                 specs.append(("min", a.arg, np.int64, False))  # deterministic pick
                 finishers.append(lambda p, si=si: p[si])
+            elif a.func == "approx_count_distinct":
+                si = len(specs)
+                specs.append(("hll", a.arg, np.int64, False))
+                finishers.append(lambda p, si=si: p[si])
+            elif a.func.startswith("quantile_"):
+                interp, qs = a.func.split(":")
+                interp = interp.rsplit("_", 1)[1]  # cont | disc
+                si = len(specs)
+                specs.append((f"q:{interp}:{qs}", a.arg, np.float64, False))
+                # cont quantile of a DECIMAL arg unscales to a double
+                scale = 10.0 ** a.arg.ty.scale if (
+                    interp == "cont" and a.arg.ty.name == "DECIMAL") else 1.0
+
+                def fin(p, si=si, scale=scale):
+                    v = p[si]
+                    if isinstance(v, np.ndarray):
+                        return v / scale if scale != 1.0 else v
+                    if v is None or (isinstance(v, float) and np.isnan(v)):
+                        return None
+                    return v / scale if scale != 1.0 else v
+                finishers.append(fin)
+            elif a.func in ("bool_and", "bool_or"):
+                kind = "min" if a.func == "bool_and" else "max"
+                si = len(specs)
+                specs.append((kind, a.arg, np.int64, False))
+                ci = len(specs)
+                specs.append(("count_arg", a.arg, np.int64, False))
+
+                def fin(p, si=si, ci=ci):
+                    cnt = p[ci]
+                    if isinstance(cnt, np.ndarray):
+                        return (p[si] != 0).astype(np.uint32)
+                    if cnt == 0:
+                        return None
+                    return 1 if p[si] != 0 else 0
+                finishers.append(fin)
             else:
                 raise ExecError(f"aggregate {a.func}")
         return specs, finishers
 
     def _group_domain(self, node: b.LogicalAggregate, get: Optional[b.LogicalGet]):
         """Dense-domain info for group keys, or None for host fallback."""
+        if get is not None:
+            # seal staged appends first: zonemap stats only cover segments
+            # (unflushed staging made the domain collapse to one group)
+            get.table.flush()
         mins, sizes = [], []
         for g in node.groups:
             if isinstance(g, b.BColumn) and g.dictionary is not None:
@@ -688,8 +728,12 @@ class Executor:
         specs, finishers = self._agg_specs(node)
         grouped = bool(node.groups)
         dense = self._group_domain(node, get) if grouped else None
-        if (grouped and dense is None) or any(d for *_x, d in specs):
-            # non-dense domains and DISTINCT aggregates take the host tier
+        holistic = any(k == "hll" or k.startswith("q:")
+                       for k, *_x in specs)
+        if (grouped and dense is None) or any(d for *_x, d in specs) \
+                or holistic:
+            # non-dense domains, DISTINCT, and holistic aggregates
+            # (quantile/HLL) take the host tier
             mat = self._materialize_scan(get, lits)
             return self._aggregate_host(node, mat, lits)
 
@@ -751,6 +795,9 @@ class Executor:
             arr = np.asarray(v)
             if a.func in ("min", "max", "first") and arr.dtype.kind in "iu":
                 arr = arr.astype(compute_dtype_of(a.ty))
+            elif a.func.startswith("quantile_disc") and \
+                    np.dtype(compute_dtype_of(a.ty)).kind in "iu":
+                arr = np.round(arr).astype(compute_dtype_of(a.ty))
             cols.append(arr)
             valids.append(None)
         dicts = getattr(node, "dicts", [None] * len(node.names))
@@ -939,6 +986,12 @@ class Executor:
                 ufunc = np.minimum if kind == "min" else np.maximum
                 ufunc.at(out, gid, v)
                 prim.append(out)
+            elif kind == "hll":
+                prim.append(_hll_count(gid, vals, valid, n_groups))
+            elif kind.startswith("q:"):
+                _q, interp, qs = kind.split(":")
+                prim.append(_group_quantile(gid, vals, valid, n_groups,
+                                            float(qs), interp))
             else:
                 raise ExecError(kind)
 
@@ -956,6 +1009,9 @@ class Executor:
             arr = np.asarray(v)
             if a.func in ("min", "max", "first") and arr.dtype.kind in "iu":
                 arr = arr.astype(compute_dtype_of(a.ty))
+            elif a.func.startswith("quantile_disc") and \
+                    np.dtype(compute_dtype_of(a.ty)).kind in "iu":
+                arr = np.round(arr).astype(compute_dtype_of(a.ty))
             cols.append(arr)
             valids.append(None)
         dicts = getattr(node, "dicts", [None] * len(node.names))
@@ -1679,6 +1735,77 @@ def _row_keys(cols: List[np.ndarray]) -> np.ndarray:
         h ^= (x + np.uint64(0x9E3779B97F4A7C15) + (h << np.uint64(6)) + (h >> np.uint64(2)))
         h *= np.uint64(0xBF58476D1CE4E5B9)
     return h
+
+
+def _hll_count(gid, vals, valid, n_groups, m: int = 64) -> np.ndarray:
+    """Per-group HyperLogLog distinct estimate (reference approx_count via
+    third_party/hyperloglog), 64 registers, small-range correction."""
+    v = np.asarray(vals)
+    if v.dtype.kind == "f":
+        v = v.view(np.uint64 if v.dtype.itemsize == 8 else np.uint32)
+    h = v.astype(np.uint64)
+    # splitmix64 finalizer
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    reg = (h >> np.uint64(58)).astype(np.int64)  # top 6 bits
+    w = (h << np.uint64(6)) | np.uint64(1)
+    # rho = leading zeros of the remaining bits + 1
+    lz = np.uint64(63) - np.floor(np.log2(w.astype(np.float64))).astype(np.uint64)
+    rho = (lz + np.uint64(1)).astype(np.int64)
+    if valid is not None:
+        keep = np.asarray(valid)
+        gid_k, reg_k, rho_k = gid[keep], reg[keep], rho[keep]
+    else:
+        gid_k, reg_k, rho_k = gid, reg, rho
+    regs = np.zeros(n_groups * m, dtype=np.int64)
+    np.maximum.at(regs, gid_k * m + reg_k, rho_k)
+    regs = regs.reshape(n_groups, m)
+    alpha = 0.709  # alpha_64
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)),
+                                 axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = est <= 2.5 * m
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1), 1.0))
+    est = np.where(small & (zeros > 0), lin, est)
+    return np.round(est).astype(np.int64)
+
+
+def _group_quantile(gid, vals, valid, n_groups, q: float, interp: str
+                    ) -> np.ndarray:
+    """Exact per-group quantile by sorted selection (the reference's
+    tdigest approximation replaced with an exact vectorized selection;
+    quantile.cpp capability)."""
+    v = np.asarray(vals).astype(np.float64)
+    g = np.asarray(gid)
+    if valid is not None:
+        keep = np.asarray(valid)
+        v, g = v[keep], g[keep]
+    order = np.lexsort((v, g))
+    gs, vs = g[order], v[order]
+    grange = np.arange(n_groups)
+    starts = np.searchsorted(gs, grange, side="left")
+    ends = np.searchsorted(gs, grange, side="right")
+    cnt = ends - starts
+    safe_cnt = np.maximum(cnt, 1)
+    if interp == "disc":
+        idx = starts + np.maximum(np.ceil(q * safe_cnt).astype(np.int64) - 1, 0)
+        idx = np.minimum(idx, np.maximum(ends - 1, 0))
+        out = vs[np.minimum(idx, len(vs) - 1)] if len(vs) else np.zeros(n_groups)
+    else:
+        pos = starts + q * (safe_cnt - 1)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(np.ceil(pos).astype(np.int64),
+                        np.maximum(ends - 1, 0))
+        lo = np.minimum(lo, np.maximum(ends - 1, 0))
+        if len(vs):
+            frac = pos - lo
+            out = vs[np.minimum(lo, len(vs) - 1)] * (1 - frac) + \
+                vs[np.minimum(hi, len(vs) - 1)] * frac
+        else:
+            out = np.zeros(n_groups)
+    return np.where(cnt > 0, out, np.nan)
 
 
 def _order_preserving_u64(arr: np.ndarray) -> Optional[np.ndarray]:

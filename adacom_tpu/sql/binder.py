@@ -93,7 +93,9 @@ class Scope:
 
 
 AGG_FUNCS = {"count", "sum", "avg", "min", "max", "first", "any_value",
-             "stddev", "stddev_samp", "var_samp", "variance"}
+             "stddev", "stddev_samp", "var_samp", "variance",
+             "approx_count_distinct", "median", "quantile", "quantile_cont",
+             "quantile_disc", "bool_and", "bool_or"}
 
 # pure window functions (reference: window function family bound in
 # src/planner/binder/expression/bind_window_expression.cpp); AGG_FUNCS are
@@ -529,6 +531,27 @@ class Binder:
             return b.BoundAggregate(name if name in ("min", "max") else "first", arg, arg.ty)
         if name in ("stddev", "stddev_samp", "var_samp", "variance"):
             return b.BoundAggregate(name, arg, tt.DOUBLE)
+        if name == "approx_count_distinct":
+            # HyperLogLog (reference third_party/hyperloglog + approx_count
+            # aggregate, src/function/aggregate/distributive/approx_count.cpp)
+            return b.BoundAggregate("approx_count_distinct", arg, tt.BIGINT)
+        if name in ("median", "quantile", "quantile_cont", "quantile_disc"):
+            # holistic quantiles (reference tdigest-backed quantile,
+            # src/function/aggregate/holistic/quantile.cpp); here computed
+            # exactly by per-group sorted selection
+            if name == "median":
+                q = 0.5
+            else:
+                if len(e.args) < 2 or not isinstance(e.args[1], ast.Literal):
+                    raise BindError(f"{name}(x, q) needs a literal quantile")
+                q = float(e.args[1].value)
+                if not 0.0 <= q <= 1.0:
+                    raise BindError("quantile must be in [0, 1]")
+            interp = "disc" if name == "quantile_disc" else "cont"
+            ty = arg.ty if interp == "disc" else tt.DOUBLE
+            return b.BoundAggregate(f"quantile_{interp}:{q}", arg, ty)
+        if name in ("bool_and", "bool_or"):
+            return b.BoundAggregate(name, arg, tt.BOOLEAN)
         raise BindError(f"unknown aggregate {name}")
 
     # ---------------- window binding ----------------
