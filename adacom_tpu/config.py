@@ -51,6 +51,20 @@ class DBConfig:
     compression_codec: str = "succinct"
     # Run scans/compaction on this platform ("tpu"|"cpu"|None=default).
     platform: Optional[str] = None
+    # Fused Pallas scan kernel for eligible aggregate scans (single packed
+    # u32 plane, range predicate, sum/count/min/max). Falls back to the
+    # XLA fused path when ineligible. Interpreted (slow) off-TPU.
+    pallas_scan_enabled: bool = True
+    # Row-count thresholds above which joins/sorts run on the TPU
+    # (ops/device_join.py: device argsort + binary-search probe) instead
+    # of the host operators; 0 disables. Only active on a TPU backend —
+    # the fixed dispatch+transfer cost needs large inputs to amortize.
+    device_join_rows: int = 2_000_000
+    device_sort_rows: int = 2_000_000
+    # With a mesh attached (Database(mesh=...)): equi-joins at or above
+    # this row count shuffle over the mesh (all_to_all); smaller joins
+    # stay on the host. 0 disables.
+    distributed_join_rows: int = 1 << 15
     # Latency tier: selective point-lookup scans touching at most this many
     # segments are answered from the host copy (numpy SIMD) instead of
     # paying a device dispatch+transfer roundtrip; large scans/aggregates
@@ -87,6 +101,7 @@ class DBConfig:
             "enable_profiling",
             "query_verification_enabled",
             "host_materialize",
+            "pallas_scan_enabled",
         }
     )
 

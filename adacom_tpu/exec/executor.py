@@ -141,6 +141,18 @@ class Executor:
     def _prepare_subqueries(self, plan: b.LogicalOp, lits) -> None:
         """Evaluate uncorrelated scalar/exists/in subqueries and stash their
         results on the BSubquery nodes before compiled expressions run."""
+        has = getattr(plan, "_has_subqueries", None)
+        if has is False:  # cached: plan contains none (point-lookup hot path)
+            return
+        if has is None:
+            plan._has_subqueries = any(
+                isinstance(sq, b.BSubquery)
+                for node in b.walk(plan)
+                for e in b.iter_node_exprs(node)
+                for sq in b.expr_walk(e)
+            )
+            if not plan._has_subqueries:
+                return
         for node in b.walk(plan):
             for e in b.iter_node_exprs(node):
                 for sq in b.expr_walk(e):
@@ -368,6 +380,17 @@ class Executor:
                     from adacom_tpu import native as _native
 
                     rows = _native.filter_eq_u32(fvals, fval)
+            if rows is None and len(get.filters) >= 2 and dm is None:
+                # multi-conjunct scans: adaptive runtime-ordered conjunct
+                # evaluation (reference AdaptiveFilter, adaptive_filter.cpp)
+                af = getattr(get, "_adaptive_filter", None)
+                if af is None:
+                    from adacom_tpu.exec.adaptive_filter import AdaptiveFilter
+
+                    af = get._adaptive_filter = AdaptiveFilter(get.filters)
+                rows = af.select(cols, lits)
+                if rows is None:
+                    raise _FallbackToDevice()
             if rows is None:
                 if filt is not None:
                     try:
@@ -730,6 +753,10 @@ class Executor:
         dense = self._group_domain(node, get) if grouped else None
         holistic = any(k == "hll" or k.startswith("q:")
                        for k, *_x in specs)
+        if not grouped and not holistic and not any(d for *_x, d in specs):
+            mat = self._try_pallas_scan_agg(node, get, lits, specs, finishers)
+            if mat is not None:
+                return mat
         if (grouped and dense is None) or any(d for *_x, d in specs) \
                 or holistic:
             # non-dense domains, DISTINCT, and holistic aggregates
@@ -803,6 +830,145 @@ class Executor:
         dicts = getattr(node, "dicts", [None] * len(node.names))
         return Mat(list(node.names), list(node.types), dicts, cols, valids)
 
+    # ------------------------------------------------------------------
+    # Pallas fused-scan fast path (ops/pallas_scan.py): ungrouped
+    # sum/count/min/max over a single packed u32/i32 column with an
+    # optional range predicate — the compressed-scan hot loop (reference
+    # SuccinctScanPartial + aggregate sink) as ONE kernel launch per
+    # packed-width class over the whole table.
+    # ------------------------------------------------------------------
+    def _try_pallas_scan_agg(self, node, get: b.LogicalGet, lits,
+                             specs, finishers) -> Optional[Mat]:
+        if not getattr(self.config, "pallas_scan_enabled", False):
+            return None
+        if getattr(self.db, "mesh", None) is not None:
+            return None  # mesh mode: the distributed pooled path scans
+        if len(get.column_ids) != 1:
+            return None
+        ty = get.types[0]
+        if not ty.integer or np.dtype(compute_dtype_of(ty)).itemsize != 4:
+            return None
+        for kind, arg, acc, distinct in specs:
+            if distinct or kind not in ("count", "count_arg", "sum",
+                                        "min", "max"):
+                return None
+            if arg is not None and not (
+                isinstance(arg, b.BColumn) and arg.index == 0
+            ):
+                return None
+        # fold all filter conjuncts into one inclusive integer range
+        lo = hi = None
+        empty = False
+        for f in get.filters:
+            p = _zonemap_probe(f, lits)
+            if p is None or p[0] != 0:
+                return None
+            _, op, val = p
+            if op == "=":
+                iv = int(np.floor(val))
+                if np.longdouble(iv) != val:
+                    empty = True
+                else:
+                    lo = iv if lo is None else max(lo, iv)
+                    hi = iv if hi is None else min(hi, iv)
+            elif op == "<":
+                b_ = int(np.ceil(val)) - 1
+                hi = b_ if hi is None else min(hi, b_)
+            elif op == "<=":
+                b_ = int(np.floor(val))
+                hi = b_ if hi is None else min(hi, b_)
+            elif op == ">":
+                b_ = int(np.floor(val)) + 1
+                lo = b_ if lo is None else max(lo, b_)
+            elif op == ">=":
+                b_ = int(np.ceil(val))
+                lo = b_ if lo is None else max(lo, b_)
+        if lo is not None and hi is not None and lo > hi:
+            empty = True
+
+        table = get.table
+        table.flush()
+        col_name = get.column_ids[0]
+        # eligibility sweep BEFORE touching device state
+        candidates = self._zonemap_candidates(get, lits)
+        segs = []
+        for i in candidates:
+            if table.delete_mask(i) is not None:
+                return None
+            s = table.segment(col_name, i)
+            if s._validity_np is not None or not s.is_compacted() or \
+                    s.codec not in (None, "succinct"):
+                return None
+            segs.append(s)
+
+        from adacom_tpu.ops import pallas_scan
+
+        TILE = pallas_scan.TILE_L
+        tot_sum, tot_cnt = 0, 0
+        gmin = gmax = None
+        if not empty:
+            classes: Dict[int, list] = {}
+            for s in segs:
+                meta, arrays = s.reader_arrays()
+                if meta[0] != "packed" or len(meta[1][0]) != 1:
+                    return None
+                (w,), L, _dt = meta[1]
+                mf = s._packed.min_factor
+                if w == 0:
+                    if (lo is None or mf >= lo) and (hi is None or mf <= hi):
+                        tot_cnt += s.count
+                        tot_sum += mf * s.count
+                        gmin = mf if gmin is None else min(gmin, mf)
+                        gmax = mf if gmax is None else max(gmax, mf)
+                else:
+                    classes.setdefault(w, []).append(
+                        (arrays[0], s.count, mf, L, id(s), s.version))
+            cache = getattr(table, "_pool_cache", None)
+            if cache is None:
+                cache = table._pool_cache = {}
+            for w, entries in classes.items():
+                L_pad = max(-(-e[3] // TILE) * TILE for e in entries)
+                key = ("pallas", w, L_pad,
+                       tuple((e[4], e[5]) for e in entries))
+                stacked = cache.get(key)
+                if stacked is None:
+                    padded = [
+                        words if words.shape[1] == L_pad
+                        else jnp.pad(words, ((0, 0), (0, L_pad - words.shape[1])))
+                        for words, *_ in entries
+                    ]
+                    stacked = jnp.stack(padded)
+                    if len(cache) > 8:
+                        cache.clear()
+                    cache[key] = stacked
+                counts = np.asarray([e[1] for e in entries], np.int64)
+                mins = np.asarray([e[2] for e in entries], np.int64)
+                lanes = np.asarray([e[3] for e in entries], np.int64)
+                s_, c_, mn_, mx_ = pallas_scan.scan_table(
+                    stacked, counts, mins, lo, hi, lanes=lanes)
+                tot_sum += s_
+                tot_cnt += c_
+                if c_ > 0:
+                    gmin = mn_ if gmin is None else min(gmin, mn_)
+                    gmax = mx_ if gmax is None else max(gmax, mx_)
+
+        prim = []
+        for kind, arg, acc, _d in specs:
+            if kind in ("count", "count_arg"):
+                prim.append(np.int64(tot_cnt))
+            elif kind == "sum":
+                prim.append(np.asarray(tot_sum, dtype=acc)[()])
+            elif kind == "min":
+                prim.append(np.asarray(0 if gmin is None else gmin,
+                                       dtype=acc)[()])
+            else:  # max
+                prim.append(np.asarray(0 if gmax is None else gmax,
+                                       dtype=acc)[()])
+        out_vals = [f(prim) for f in finishers]
+        cols, valids = _agg_finalize_row(node, out_vals)
+        dicts = getattr(node, "dicts", [None] * len(node.names))
+        return Mat(list(node.names), list(node.types), dicts, cols, valids)
+
     def _scan_agg_batches(self, node, get, lits, spec_entries, group_fns,
                           dense, params, kernels):
         """Run the fused scan+aggregate kernel over candidate segments.
@@ -843,21 +1009,28 @@ class Executor:
                     (i, count, segs, arrays)
                 )
 
+        mesh = getattr(self.db, "mesh", None)
+        n_dev = mesh.devices.size if mesh is not None else 0
         for key, entries in pools.items():
             metas_t, n_pad, _ = key
-            if len(entries) < 4:
+            if len(entries) < (1 if mesh is not None else 4):
                 for i, count, segs, arrays in entries:
                     per_segment.append((i, count, key, list(metas_t), arrays, None))
                 continue
             # pooled path: pad the pool to the next power of two with
             # zero-count dummies so kernel shapes stay stable across
-            # zonemap-dependent candidate sets
+            # zonemap-dependent candidate sets (mesh mode: also to a
+            # multiple of the device count for even sharding)
             n = len(entries)
             n_padded = 1 << (n - 1).bit_length()
+            if mesh is not None:
+                n_padded = max(n_padded, n_dev)
+                if n_padded % n_dev:
+                    n_padded = ((n_padded + n_dev - 1) // n_dev) * n_dev
             stack_key = (
                 key, tuple(get.column_ids),
                 tuple((id(s), s.version) for _, _, segs, _ in entries for s in segs),
-                n_padded,
+                n_padded, n_dev,
             )
             cache = getattr(get.table, "_pool_cache", None)
             if cache is None:
@@ -872,19 +1045,36 @@ class Executor:
                     cols_stacked.append(jnp.stack(arrs + pad))
                 counts = np.zeros(n_padded, np.int32)
                 counts[:n] = [e[1] for e in entries]
-                stacked = (tuple(cols_stacked), jnp.asarray(counts))
+                counts = jnp.asarray(counts)
+                if mesh is not None:
+                    from adacom_tpu.parallel import mesh as pmesh
+
+                    cols_stacked = [pmesh.shard_leading(mesh, a)
+                                    for a in cols_stacked]
+                    counts = pmesh.shard_leading(mesh, counts)
+                stacked = (tuple(cols_stacked), counts)
                 cache.clear() if len(cache) > 8 else None
                 cache[stack_key] = stacked
-            pkern_key = ("pool", key, n_padded)
+            pkern_key = ("pool", key, n_padded, n_dev)
             kern = kernels.get(pkern_key)
             if kern is None:
-                kern = _build_pooled_scan_agg_kernel(
-                    metas_t,
-                    [compute_dtype_of(t) for t in get.types],
-                    filt, n_pad, spec_entries, group_fns, dense,
-                )
+                if mesh is not None:
+                    kern = _build_distributed_scan_agg_kernel(
+                        mesh, metas_t,
+                        [compute_dtype_of(t) for t in get.types],
+                        filt, n_pad, spec_entries, group_fns, dense,
+                        n_arrays=len(entries[0][3]),
+                    )
+                else:
+                    kern = _build_pooled_scan_agg_kernel(
+                        metas_t,
+                        [compute_dtype_of(t) for t in get.types],
+                        filt, n_pad, spec_entries, group_fns, dense,
+                    )
                 kernels[pkern_key] = kern
             arrays_s, counts_s = stacked
+            if mesh is not None:
+                self.db.dist_stats["scan_agg"] += 1
             out = kern(counts_s, fparams, params, *arrays_s)
             yield -1, sum(e[1] for e in entries), out
 
@@ -1038,7 +1228,7 @@ class Executor:
                     rk = np.where(np.asarray(rm), rk, _null_key(rk.dtype))
                 lkeys.append(lk)
                 rkeys.append(rk)
-            li, ri = _hash_join_pairs(lkeys, rkeys)
+            li, ri = _hash_join_pairs(lkeys, rkeys, self.config, self.db)
             if node.residual is not None:
                 # a left row matches iff SOME key-equal right row also passes
                 # the residual (decorrelated EXISTS with non-equi conjuncts)
@@ -1070,7 +1260,7 @@ class Executor:
                     rk = np.where(np.asarray(rm), rk, _null_key(rk.dtype))
                 lkeys.append(lk)
                 rkeys.append(rk)
-            li, ri = _hash_join_pairs(lkeys, rkeys)
+            li, ri = _hash_join_pairs(lkeys, rkeys, self.config, self.db)
 
         if node.residual is not None:
             # apply the residual to the matched pairs BEFORE computing the
@@ -1187,6 +1377,19 @@ class Executor:
             keys.append(arr)
         if not keys:
             return np.arange(mat.nrows)
+        thresh = getattr(self.config, "device_sort_rows", 0)
+        if thresh and len(keys[0]) >= thresh:
+            # large sorts: order-normalize every key to u64 and run the
+            # multi-key argsort on the TPU (ops/device_join.lexsort)
+            from adacom_tpu.ops import device_join
+
+            if device_join.on_tpu():
+                us = [_order_preserving_u64(k) for k in keys]
+                if all(u is not None for u in us):
+                    flipped = [
+                        (u ^ np.uint64(1 << 63)).view(np.int64) for u in us
+                    ]
+                    return device_join.lexsort(flipped)
         if len(keys) == 1 and len(keys[0]) >= 4096:
             u = _order_preserving_u64(keys[0])
             if u is not None:
@@ -1258,10 +1461,10 @@ class Executor:
                 idx = _unique_row_indices(mat.cols)
                 mat = mat.take(np.sort(idx))
             return mat
-        # except / intersect via row-key membership
-        lkey = _row_keys(left.cols)
-        rkey = _row_keys(rcols)
-        in_right = np.isin(lkey, rkey)
+        # except / intersect via verified equi-join membership
+        li, _ri = _hash_join_pairs(left.cols, rcols, self.config, self.db)
+        in_right = np.zeros(left.nrows, dtype=bool)
+        in_right[li] = True
         if node.op == "except":
             keep = ~in_right
         else:
@@ -1486,6 +1689,55 @@ def _scan_agg_body(metas, dtypes, filt, n_pad, spec_entries, group_fns, dense,
         if fm is not None:
             mask = mask & fm
     return _agg_partials(cols, mask, params, n_pad, spec_entries, group_fns, dense)
+
+
+def _build_distributed_scan_agg_kernel(mesh, metas, dtypes, filt, n_pad,
+                                       spec_entries, group_fns, dense,
+                                       n_arrays):
+    """SPMD variant of the pooled scan-aggregate: the same fused
+    decode+filter+partials trace runs per device over its shard of the
+    stacked segment pool (dp over segments), and partial states merge
+    with psum/pmin/pmax over the mesh — the reference's local->global
+    sink-state merge (SURVEY.md §2.2) on ICI collectives. Handles every
+    representation the single-chip kernel does (two-plane 64-bit packed,
+    validity planes, generic codecs)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from adacom_tpu.parallel.mesh import SEG_AXIS
+
+    def seg_body(count, fparams, params, *arrays):
+        return _scan_agg_body(metas, dtypes, filt, n_pad, spec_entries,
+                              group_fns, dense, count, fparams, params,
+                              arrays)
+
+    def device_body(counts, fparams, params, *arrays_stacked):
+        outs = jax.vmap(
+            seg_body, in_axes=(0, None, None) + (0,) * len(arrays_stacked)
+        )(counts, fparams, params, *arrays_stacked)
+        merged = []
+        for k, (kind, _, _) in enumerate(spec_entries):
+            mk = _merge_kind(kind)
+            x = outs[k]
+            if mk in ("sum", "count"):
+                merged.append(jax.lax.psum(jnp.sum(x, axis=0), SEG_AXIS))
+            elif mk == "min":
+                merged.append(jax.lax.pmin(jnp.min(x, axis=0), SEG_AXIS))
+            else:
+                merged.append(jax.lax.pmax(jnp.max(x, axis=0), SEG_AXIS))
+        return tuple(merged)
+
+    sharded = shard_map(
+        device_body,
+        mesh=mesh,
+        in_specs=(P(SEG_AXIS), P(), P()) + (P(SEG_AXIS),) * n_arrays,
+        out_specs=tuple(P() for _ in spec_entries),
+    )
+    return jax.jit(sharded)
 
 
 def _build_pooled_scan_agg_kernel(metas, dtypes, filt, n_pad,
@@ -1826,29 +2078,88 @@ def _unique_rows(key_arrays: List[np.ndarray]):
     """Group-by factorization: returns (unique col arrays, group ids).
 
     Uses the native open-addressing hash table (GroupedAggregateHashTable
-    parity, O(n)) instead of a sort-based np.unique; groups come out in
-    first-occurrence order (SQL imposes no group order)."""
+    parity, O(n)) over 64-bit row hashes, then VERIFIES key equality
+    against each group's representative row — a colliding row falls back
+    to an exact sort-based factorization (the reference compares group
+    rows, aggregate_hashtable.cpp FindOrCreateGroups)."""
     from adacom_tpu import native as _native
 
     h = _row_keys(key_arrays)
     if h.dtype != np.int64:
         h = h.view(np.int64) if h.dtype.itemsize == 8 else h.astype(np.int64)
     gid, first_idx = _native.groupby_i64(h)
+    rep = first_idx[gid]
+    for c in key_arrays:
+        cc = np.ascontiguousarray(c)
+        same = cc == cc[rep]
+        if cc.dtype.kind == "f":  # NaN keys: NaN groups with NaN
+            same |= np.isnan(cc) & np.isnan(cc[rep])
+        if not same.all():
+            return _unique_rows_exact(key_arrays)
+    uniq_cols = [c[first_idx] for c in key_arrays]
+    return uniq_cols, gid
+
+
+def _unique_rows_exact(key_arrays: List[np.ndarray]):
+    """Exact factorization by lexsort over the actual key columns."""
+    n = len(key_arrays[0])
+    order = np.lexsort(tuple(reversed(key_arrays)))
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for c in key_arrays:
+        cs = np.ascontiguousarray(c)[order]
+        diff = cs[1:] != cs[:-1]
+        if cs.dtype.kind == "f":
+            diff &= ~(np.isnan(cs[1:]) & np.isnan(cs[:-1]))
+        new[1:] |= diff
+    grp_sorted = np.cumsum(new) - 1
+    gid = np.empty(n, dtype=np.int64)
+    gid[order] = grp_sorted
+    first_idx = np.empty(int(grp_sorted[-1]) + 1, dtype=np.int64)
+    # first occurrence in original order for deterministic output
+    first_idx[gid[::-1]] = np.arange(n - 1, -1, -1)
     uniq_cols = [c[first_idx] for c in key_arrays]
     return uniq_cols, gid
 
 
 def _unique_row_indices(cols: List[np.ndarray]) -> np.ndarray:
-    h = _row_keys(cols)
-    _, idx = np.unique(h, return_index=True)
-    return idx
+    """Indices of the first occurrence of each distinct row (verified)."""
+    if not cols:
+        return np.zeros(1, dtype=np.int64)
+    _, gid = _unique_rows([np.ascontiguousarray(c) for c in cols])
+    n_groups = int(gid.max()) + 1 if len(gid) else 0
+    first = np.full(n_groups, len(gid), dtype=np.int64)
+    np.minimum.at(first, gid, np.arange(len(gid)))
+    return first
 
 
-def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray]):
+def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray],
+                     config=None, db=None):
     """All matching (left_idx, right_idx) pairs for equi-keys (vectorized
-    sort-probe join with hash-combined multi-column keys + verification)."""
+    sort-probe join with hash-combined multi-column keys + verification).
+
+    Large inputs on a TPU backend run the sort + binary-search probe on
+    the device (ops/device_join.py — JoinHashTable Build/Probe parity);
+    with a mesh attached, unique-build-key joins shuffle over all_to_all
+    (parallel/ops.make_distributed_join_rowids). The host keeps the
+    variable-length pair expansion either way."""
     lk = _row_keys([k for k in lkeys])
     rk = _row_keys([k for k in rkeys])
+    mesh = getattr(db, "mesh", None) if db is not None else None
+    dthresh = getattr(config, "distributed_join_rows", 0) if config else 0
+    if mesh is not None and dthresh and len(rk) and \
+            len(lk) + len(rk) >= dthresh:
+        pair = _distributed_join_pairs(db, mesh, lk, rk)
+        if pair is not None:
+            return _verify_join_pairs(lkeys, rkeys, *pair)
+    thresh = getattr(config, "device_join_rows", 0) if config else 0
+    if thresh and len(lk) + len(rk) >= thresh:
+        from adacom_tpu.ops import device_join
+
+        if device_join.on_tpu():
+            li, ri = device_join.join_pairs(lk.view(np.int64),
+                                            rk.view(np.int64))
+            return _verify_join_pairs(lkeys, rkeys, li, ri)
     order = np.argsort(rk, kind="stable")
     rk_sorted = rk[order]
     lo = np.searchsorted(rk_sorted, lk, side="left")
@@ -1863,7 +2174,69 @@ def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray]):
     base = np.concatenate([[0], np.cumsum(counts)[:-1]])
     within = np.arange(total) - np.repeat(base, counts)
     ri = order[starts + within]
-    # verify actual key equality (hash collision safety)
+    return _verify_join_pairs(lkeys, rkeys, li, ri)
+
+
+_DIST_JOIN_CACHE: Dict[tuple, Any] = {}
+
+
+def _distributed_join_pairs(db, mesh, lk: np.ndarray, rk: np.ndarray):
+    """Shuffle-join the hashed keys over the mesh; returns (li, ri)
+    candidate pairs or None when ineligible (duplicate build hashes) or
+    unsafe (bin overflow under skew) — callers fall back to the host
+    join. Shapes are padded to powers of two to bound recompilation."""
+    from adacom_tpu.parallel import mesh as pmesh
+    from adacom_tpu.parallel import ops as pops
+
+    rk64 = rk.view(np.int64)
+    lk64 = lk.view(np.int64)
+    if len(np.unique(rk64)) != len(rk64):
+        return None  # duplicate build keys need run expansion: host path
+    n_dev = mesh.devices.size
+
+    def padded_len(n):
+        p = 1 << max(1, (n - 1)).bit_length()
+        return pmesh.pad_to_multiple(max(p, n_dev), n_dev)
+
+    nb, npr = padded_len(len(rk64)), padded_len(len(lk64))
+    capacity = max(64, 4 * (max(nb, npr) // n_dev))
+    fkey = (id(mesh), capacity)
+    fn = _DIST_JOIN_CACHE.get(fkey)
+    if fn is None:
+        fn = _DIST_JOIN_CACHE[fkey] = pops.make_distributed_join_rowids(
+            mesh, capacity)
+        if len(_DIST_JOIN_CACHE) > 16:
+            _DIST_JOIN_CACHE.clear()
+            _DIST_JOIN_CACHE[fkey] = fn
+
+    def prep(keys, n_pad):
+        k = np.zeros(n_pad, np.int64)
+        k[: len(keys)] = keys
+        v = np.zeros(n_pad, bool)
+        v[: len(keys)] = True
+        r = np.zeros(n_pad, np.int64)
+        r[: len(keys)] = np.arange(len(keys))
+        sh = lambda a: pmesh.shard_leading(mesh, jnp.asarray(a))
+        return sh(k), sh(v), sh(r)
+
+    bk, bv, br = prep(rk64, nb)
+    pk, pv, pr = prep(lk64, npr)
+    matched, br_out, pr_out, ovf = fn(bk, bv, br, pk, pv, pr)
+    if int(ovf) > 0:
+        return None  # skewed bins overflowed: host join is always safe
+    m = np.asarray(matched)
+    li = np.asarray(pr_out)[m]
+    ri = np.asarray(br_out)[m]
+    db.dist_stats["join"] += 1
+    return li, ri
+
+
+def _verify_join_pairs(lkeys, rkeys, li, ri):
+    """Keep only candidate pairs whose actual keys are equal (hash
+    collision safety; the reference compares stored rows the same way)."""
+    total = len(li)
+    if total == 0:
+        return li, np.asarray(ri, dtype=np.int64)
     ok = np.ones(total, dtype=bool)
     for lcol, rcol in zip(lkeys, rkeys):
         lv = lcol[li]

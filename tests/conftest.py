@@ -1,27 +1,57 @@
-"""Test harness: run everything on a virtual 8-device CPU mesh.
+"""Test harness: two lanes.
 
-Mirrors the reference's test strategy (SURVEY.md §4): single-chip goldens +
-multi-chip-on-one-host via the XLA host-platform device-count flag. Must set
-env vars before jax is imported anywhere.
+Default lane (CPU): everything runs on a virtual 8-device CPU mesh —
+mirrors the reference's test strategy (SURVEY.md §4): single-chip goldens
++ multi-chip-on-one-host via the XLA host-platform device-count flag.
+
+TPU lane (ADACOM_TEST_TPU=1): the same tests execute on the real chip,
+x64 on, exactly as the engine runs in production — codec round-trips, the
+fused scan-aggregate path, the Pallas kernels, and the TPC-H suite all
+touch real hardware. Tests that require the 8-device mesh (marked
+`mesh`) skip on a single chip. CPU-only CI once hid a kernel that
+crashed on hardware (VERDICT round 2 #1); this lane exists so that can't
+recur.
+
+Env vars must be set before jax is imported anywhere.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+TPU_MODE = os.environ.get("ADACOM_TEST_TPU", "0") == "1"
+
+if not TPU_MODE:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS; force the
-# virtual-CPU mesh explicitly so tests never ride the single-chip tunnel.
-jax.config.update("jax_platforms", "cpu")
+if not TPU_MODE:
+    # The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS; force the
+    # virtual-CPU mesh explicitly so tests never ride the single-chip tunnel.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "mesh: requires the 8-device virtual CPU mesh")
+
+
+def pytest_collection_modifyitems(config, items):
+    if not TPU_MODE:
+        return
+    n = len(jax.devices())
+    skip_mesh = pytest.mark.skip(
+        reason=f"needs 8 devices, TPU lane has {n}")
+    for item in items:
+        if "mesh" in item.keywords and n < 8:
+            item.add_marker(skip_mesh)
 
 
 @pytest.fixture

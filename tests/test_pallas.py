@@ -50,3 +50,67 @@ def test_scan_equality_probe():
                                       n, 123, 123)
     m = vals == 123
     assert int(c) == int(m.sum()) and int(s) == 123 * int(m.sum())
+
+
+def test_scan_table_multi_segment_ragged():
+    """Stacked multi-segment scan w/ a ragged tail + signed minima."""
+    rng = np.random.default_rng(17)
+    seg_rows = [8192, 8192, 5000]  # tail segment: fewer lanes
+    words_l, counts, mins, alldata, lanes = [], [], [], [], []
+    for k, n in enumerate(seg_rows):
+        vals = (-4000 + k * 3000 + rng.integers(0, 1 << 11, n)).astype(np.int32)
+        alldata.append(vals)
+        p = segcodec.pack_segment(jnp.asarray(vals), tt.INTEGER)
+        assert p.widths == (11,)
+        L_pad = -(-p.n_lanes // pallas_scan.TILE_L) * pallas_scan.TILE_L
+        w = p.words[0]
+        if w.shape[1] < L_pad:
+            w = jnp.pad(w, ((0, 0), (0, L_pad - w.shape[1])))
+        words_l.append(w)
+        counts.append(p.count)
+        mins.append(p.min_factor)
+        lanes.append(p.n_lanes)
+    words = jnp.stack(words_l)
+    a = np.concatenate(alldata).astype(np.int64)
+    for lo, hi in [(-3500, 500), (None, None), (10_000, 20_000)]:
+        s, c, mn, mx = pallas_scan.scan_table(words, counts, mins, lo, hi,
+                                              lanes=lanes)
+        m = np.ones(len(a), bool)
+        if lo is not None:
+            m &= (a >= lo) & (a <= hi)
+        assert int(c) == int(m.sum())
+        assert int(s) == int(a[m].sum())
+        if m.any():
+            assert (mn, mx) == (int(a[m].min()), int(a[m].max()))
+
+
+def test_engine_pallas_scan_agg():
+    """SELECT sum/count/min/max through the engine's Pallas fast path."""
+    import adacom_tpu as at
+
+    cfg = at.DBConfig()
+    cfg.segment_rows = 4096
+    cfg.pallas_scan_enabled = True
+    cfg.host_scan_segment_limit = 0
+    db = at.Database(config=cfg)
+    con = db.connect()
+    con.query("CREATE TABLE t(i INTEGER)")
+    rng = np.random.default_rng(23)
+    vals = rng.integers(-1000, 50_000, 10_000).astype(np.int32)
+    app = con.appender("t")
+    app.append_column("i", vals)
+    app.close()
+    db.catalog.get_column_segment_catalog().compact_all_segments()
+    r = con.query(
+        "SELECT count(*), sum(i), min(i), max(i) FROM t WHERE i >= 100 AND i < 30000"
+    ).fetchone()
+    m = (vals >= 100) & (vals < 30000)
+    assert tuple(int(x) for x in r) == (
+        int(m.sum()), int(vals[m].astype(np.int64).sum()),
+        int(vals[m].min()), int(vals[m].max()))
+    # empty range + no-filter variants
+    r = con.query("SELECT count(i), sum(i) FROM t WHERE i = 99999").fetchone()
+    assert int(r[0]) == 0 and r[1] is None
+    r = con.query("SELECT sum(i), count(*) FROM t").fetchone()
+    assert (int(r[0]), int(r[1])) == (int(vals.astype(np.int64).sum()), len(vals))
+    db.close()
