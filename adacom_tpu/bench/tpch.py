@@ -8,10 +8,9 @@ reproduced), and correctness is established row-for-row against a sqlite3
 oracle loaded with the same data (tests/test_tpch.py) — the engine-agnostic
 equivalent of the reference's answer-CSV verification.
 
-Query texts below are the TPC-H formulations restricted to syntax both this
-engine and sqlite accept (plain date strings instead of DATE literals where
-needed; no correlated subqueries yet — Q2/Q4/Q17/Q20/Q21/Q22 are later
-milestones)."""
+Query texts below are the TPC-H formulations (all 22 queries) restricted to
+syntax both this engine and sqlite accept (plain date strings instead of
+DATE literals where needed)."""
 
 from __future__ import annotations
 

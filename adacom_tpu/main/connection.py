@@ -39,10 +39,23 @@ class Connection:
     # ------------------------------------------------------------------
     def query(self, sql: str) -> Optional[QueryResult]:
         """Execute one or more statements; returns the last result."""
-        try:
-            stmts, key, lits, structural = parse(sql)
-        except Exception as e:
-            raise SQLError(f"parse error: {e}") from e
+        # raw-text parse cache: repeated query texts (skewed point-lookup
+        # workloads re-issue hot values verbatim) skip the lexer+parser;
+        # ASTs are immutable post-parse so sharing them is safe
+        parsed = self.db.parse_cache.get(sql)
+        if parsed is None:
+            try:
+                parsed = parse(sql)
+            except Exception as e:
+                raise SQLError(f"parse error: {e}") from e
+            if len(self.db.parse_cache) > 8192:
+                self.db.parse_cache.clear()
+            self.db.parse_cache[sql] = parsed
+        stmts, key, lits, structural = parsed
+        if any(isinstance(s, (ast.InsertStmt, ast.UpdateStmt)) for s in stmts):
+            # INSERT/UPDATE consume literal lists that may be huge and
+            # unique; don't let them pin cache memory
+            self.db.parse_cache.pop(sql, None)
         from adacom_tpu.storage.index import ConstraintViolation
 
         result = None

@@ -25,16 +25,27 @@ class CheckpointAbort(Exception):
 
 
 class Database:
-    def __init__(self, path: Optional[str] = None, config: Optional[DBConfig] = None):
+    def __init__(self, path: Optional[str] = None, config: Optional[DBConfig] = None,
+                 mesh=None):
         # path: checkpoint directory for persistence (None = in-memory,
         # like the reference's :memory: mode used by all succinct benchmarks)
+        # mesh: a jax.sharding.Mesh — when set, eligible scan-aggregates
+        # shard segment pools over the mesh's segment axis (shard_map +
+        # psum/pmin/pmax) and large equi-joins shuffle over all_to_all;
+        # the layer the reference lacks entirely (SURVEY.md §5.8)
         self.path = path
+        self.mesh = mesh
+        # counters of distributed-operator executions (observability +
+        # the dryrun asserts the distributed path actually ran)
+        self.dist_stats = {"scan_agg": 0, "join": 0, "topk": 0}
         self.config = config or DBConfig()
         self.buffer_manager = BufferManager(self.config)
         self.catalog = Catalog(self.config, self.buffer_manager)
         # plan cache: template key -> (statements, bound plan, meta)
         self.plan_cache: dict = {}
         self.plan_cache_lock = threading.Lock()
+        # raw SQL text -> parse() output (hot repeated lookups skip parsing)
+        self.parse_cache: dict = {}
         self._closed = False
         # frontload the (slow, once-per-process) device-link warmup so no
         # query ever pays it

@@ -121,14 +121,25 @@ def gather_u32(words: np.ndarray, n_lanes: int, width: int, idx: np.ndarray) -> 
 # ---------------- filters ----------------
 
 
+_tls = __import__("threading").local()
+
+
+def _scratch_i64(n: int) -> np.ndarray:
+    """Per-thread reusable index buffer (callers copy the filled prefix)."""
+    buf = getattr(_tls, "idx_buf", None)
+    if buf is None or len(buf) < n:
+        buf = _tls.idx_buf = np.empty(max(n, 1 << 16), dtype=np.int64)
+    return buf
+
+
 def filter_eq_u32(vals: np.ndarray, v: int) -> np.ndarray:
     lib = _load()
     vals = np.ascontiguousarray(vals, dtype=np.uint32)
     if lib is None:
         return np.nonzero(vals == np.uint32(v))[0]
-    idx = np.empty(len(vals), dtype=np.int64)
+    idx = _scratch_i64(len(vals))
     m = lib.adacom_filter_eq_u32(vals, len(vals), np.uint32(v), idx)
-    return idx[:m]
+    return idx[:m].copy()
 
 
 def packed_filter_eq_u32(words: np.ndarray, count: int, width: int,

@@ -101,17 +101,39 @@ void adacom_gather_u32(const uint32_t* words, int64_t n_lanes, int width,
 
 int64_t adacom_filter_eq_u32(const uint32_t* vals, int64_t n, uint32_t v,
                              int64_t* idx_out) {
+    // blockwise: a branchless SIMD-friendly "any match?" sweep skips the
+    // serial index-emit loop for blocks without hits (selective point
+    // lookups match ~1 row per segment)
     int64_t m = 0;
-    for (int64_t i = 0; i < n; ++i)
+    int64_t i = 0;
+    constexpr int64_t B = 512;
+    for (; i + B <= n; i += B) {
+        uint32_t any = 0;
+        for (int64_t j = 0; j < B; ++j) any |= (vals[i + j] == v);
+        if (any)
+            for (int64_t j = 0; j < B; ++j)
+                if (vals[i + j] == v) idx_out[m++] = i + j;
+    }
+    for (; i < n; ++i)
         if (vals[i] == v) idx_out[m++] = i;
     return m;
 }
 
 int64_t adacom_filter_range_u32(const uint32_t* vals, int64_t n, uint32_t lo,
                                 uint32_t hi, int64_t* idx_out) {
-    // matches lo <= v < hi
+    // matches lo <= v < hi; same blockwise any-match structure
     int64_t m = 0;
-    for (int64_t i = 0; i < n; ++i)
+    int64_t i = 0;
+    constexpr int64_t B = 512;
+    for (; i + B <= n; i += B) {
+        uint32_t any = 0;
+        for (int64_t j = 0; j < B; ++j)
+            any |= (vals[i + j] >= lo) & (vals[i + j] < hi);
+        if (any)
+            for (int64_t j = 0; j < B; ++j)
+                if (vals[i + j] >= lo && vals[i + j] < hi) idx_out[m++] = i + j;
+    }
+    for (; i < n; ++i)
         if (vals[i] >= lo && vals[i] < hi) idx_out[m++] = i;
     return m;
 }
