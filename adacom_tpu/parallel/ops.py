@@ -278,6 +278,62 @@ def make_distributed_join(mesh, capacity: int):
     return jax.jit(sharded)
 
 
+def make_distributed_join_rowids(mesh, capacity: int):
+    """Distributed equi-join keyed on 64-bit hashes with ROW-ID payloads —
+    the general-purpose shuffle join the SQL executor routes through
+    (build side must have unique hashes; the executor checks and falls
+    back to the host join otherwise, and re-verifies true key equality
+    afterwards for collision safety).
+
+    fn(bk, bv, b_rid, pk, pv, p_rid) -> (matched, b_rid_out, p_rid_out,
+    overflow) where the first three are sharded like the probe partition
+    and `overflow` is the global count of rows dropped by bin-capacity
+    limits — CALLERS MUST FALL BACK when overflow > 0 (skew guard)."""
+    n_dev = mesh.devices.size
+
+    def repart(keys, valid, payload):
+        h = _hash64(keys)
+        dest = (h % np.uint64(n_dev)).astype(jnp.int32)
+        dest = jnp.where(valid, dest, n_dev)
+        slot = _rank_within(dest, n_dev + 1, keys.shape[0])
+        drop = (dest >= n_dev) | (slot >= capacity)
+        ovf = jnp.sum(((slot >= capacity) & (dest < n_dev)).astype(jnp.int64))
+        target = jnp.where(drop, n_dev * capacity,
+                           dest * capacity + jnp.minimum(slot, capacity - 1))
+
+        def scatter(x, fill):
+            out = jnp.full((n_dev * capacity + 1,), fill, x.dtype)
+            out = out.at[target].set(x, mode="drop")
+            return out[:-1].reshape(n_dev, capacity)
+
+        outs = [scatter(keys, jnp.zeros((), keys.dtype)),
+                scatter(valid & ~drop, jnp.zeros((), jnp.bool_)),
+                scatter(payload, jnp.zeros((), payload.dtype))]
+        return [jax.lax.all_to_all(o, SEG_AXIS, 0, 0, tiled=True).reshape(-1)
+                for o in outs], ovf
+
+    def device_body(bk, bv, br, pk, pv, pr):
+        (bk_r, bv_r, br_r), ovf_b = repart(bk, bv, br)
+        (pk_r, pv_r, pr_r), ovf_p = repart(pk, pv, pr)
+        sort_key = jnp.where(bv_r, bk_r, jnp.iinfo(bk_r.dtype).max)
+        order = jnp.argsort(sort_key)
+        sk = sort_key[order]
+        sr = br_r[order]
+        sv = bv_r[order]
+        pos = jnp.searchsorted(sk, pk_r)
+        pos = jnp.minimum(pos, sk.shape[0] - 1)
+        matched = pv_r & sv[pos] & (sk[pos] == pk_r)
+        overflow = jax.lax.psum(ovf_b + ovf_p, SEG_AXIS)
+        return (matched, jnp.where(matched, sr[pos], 0), pr_r, overflow)
+
+    sharded = shard_map(
+        device_body, mesh=mesh,
+        in_specs=tuple(P(SEG_AXIS) for _ in range(6)),
+        out_specs=(P(SEG_AXIS), P(SEG_AXIS), P(SEG_AXIS), P()),
+    )
+    return jax.jit(sharded)
+
+
 # ======================================================================
 # distributed top-k (global ORDER BY ... LIMIT k merge)
 # ======================================================================
