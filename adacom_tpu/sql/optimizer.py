@@ -8,8 +8,11 @@ rules that matter to this engine's workloads:
   (src/optimizer/remove_unused_columns.cpp)
 - Order+Limit -> TopN (src/optimizer/topn_optimizer.cpp)
 - constant folding (src/optimizer/rule/constant_folding.cpp)
-Join ordering is left to the planner's syntactic order (DP join order is a
-later milestone; noted in SURVEY.md §2.2)."""
+- cardinality estimation + greedy build-side selection for inner joins
+  (the cost-relevant slice of src/optimizer/join_order/
+  join_order_optimizer.cpp + statistics_propagator.cpp: our sort-probe
+  join sorts the RIGHT side, so the smaller estimated input goes right;
+  a swap is wrapped in a projection restoring output order)."""
 
 from __future__ import annotations
 
@@ -25,6 +28,7 @@ def optimize(plan: b.LogicalOp, structural: Optional[set] = None) -> b.LogicalOp
     if structural is None:
         structural = set()
     plan = push_filters(plan)
+    plan = order_joins(plan)
     plan = fuse_topn(plan, structural)
     plan = prune_columns(plan)
     # optimize remaining (scalar/exists) subquery plans
@@ -191,6 +195,96 @@ def _push_one(node: b.LogicalOp, conj: b.BExpr) -> bool:
 
 def _subqueries_in(e: b.BExpr):
     return [x for x in b.expr_walk(e) if isinstance(x, b.BSubquery)]
+
+
+# ---------------- cardinality estimation + join ordering ----------------
+
+
+_EQ_SELECTIVITY = 0.005   # point predicate (reference defaults are similar:
+_RANGE_SELECTIVITY = 0.3  # join_order/cardinality_estimator.cpp heuristics)
+
+
+def est_rows(op: b.LogicalOp) -> float:
+    """Propagated row-count estimate (statistics_propagator.cpp slice):
+    table row counts shrunk by per-conjunct selectivity guesses."""
+    cached = getattr(op, "_est_rows", None)
+    if cached is not None:
+        return cached
+    if isinstance(op, b.LogicalGet):
+        try:
+            n = float(op.table.row_count())
+        except Exception:
+            n = 1e6
+        for f in op.filters:
+            n *= (_EQ_SELECTIVITY
+                  if isinstance(f, b.BBinary) and f.op == "=" else
+                  _RANGE_SELECTIVITY)
+        est = max(n, 1.0)
+    elif isinstance(op, b.LogicalFilter):
+        est = max(est_rows(op.child) * _RANGE_SELECTIVITY, 1.0)
+    elif isinstance(op, b.LogicalJoin):
+        le, re_ = est_rows(op.left), est_rows(op.right)
+        if op.join_type in ("semi", "anti"):
+            est = le * 0.5
+        elif op.conditions:
+            # equi-join: assume PK-FK (output ~ the larger FK side)
+            est = max(le, re_)
+        else:
+            est = le * re_
+    elif isinstance(op, b.LogicalAggregate):
+        c = est_rows(op.child)
+        est = 1.0 if not op.groups else max(min(c, c ** 0.7), 1.0)
+    elif isinstance(op, b.LogicalTopN):
+        est = float(op.limit)
+    elif isinstance(op, b.LogicalLimit):
+        est = min(est_rows(op.child), 1e4)
+    else:
+        child = next(
+            (getattr(op, f.name) for f in dataclasses.fields(op)
+             if isinstance(getattr(op, f.name), b.LogicalOp)), None)
+        est = est_rows(child) if child is not None else 1.0
+    op._est_rows = est
+    return est
+
+
+def order_joins(op: b.LogicalOp) -> b.LogicalOp:
+    """Greedy build-side selection: the executor's sort-probe join sorts
+    the right input, so for inner equi-joins put the SMALLER estimated
+    input on the right (swap wrapped in an order-restoring projection)."""
+    for f in dataclasses.fields(op):
+        v = getattr(op, f.name)
+        if isinstance(v, b.LogicalOp):
+            setattr(op, f.name, order_joins(v))
+    if not isinstance(op, b.LogicalJoin) or op.join_type != "inner" or \
+            not op.conditions:
+        return op
+    le, re_ = est_rows(op.left), est_rows(op.right)
+    if le >= re_ * 0.5:
+        return op  # right is already (close enough to) the smaller side
+    n_left, n_right = len(op.left.names), len(op.right.names)
+    dicts = getattr(op, "dicts", [None] * len(op.names))
+    swapped = b.LogicalJoin(
+        names=list(op.names[n_left:]) + list(op.names[:n_left]),
+        types=list(op.types[n_left:]) + list(op.types[:n_left]),
+        left=op.right, right=op.left, join_type="inner",
+        conditions=[(re2, le2) for le2, re2 in op.conditions],
+        residual=None,
+    )
+    swapped.dicts = dicts[n_left:] + dicts[:n_left]
+    if op.residual is not None:
+        # residual indices: old left i -> n_right + i; old right j -> j-n_left
+        m = {i: n_right + i for i in range(n_left)}
+        m.update({n_left + j: j for j in range(n_right)})
+        swapped.residual = _remap(op.residual, m)
+    # restore the original output order
+    exprs = []
+    for i in range(len(op.names)):
+        src = n_right + i if i < n_left else i - n_left
+        exprs.append(b.BColumn(op.types[i], src, op.names[i], dicts[i]))
+    proj = b.LogicalProject(
+        names=list(op.names), types=list(op.types), child=swapped, exprs=exprs)
+    proj.dicts = dicts
+    return proj
 
 
 # ---------------- correlated-subquery decorrelation ----------------
