@@ -9,6 +9,17 @@ Reference baseline: 17.49 s per hot run on the authors' server
 {"metric", "value", "unit", "vs_baseline"} where vs_baseline = ours/theirs
 (< 1.0 is faster than the reference).
 
+What each number measures:
+- the headline point-lookup timing exercises the HOST LATENCY TIER
+  (zonemap pruning + native SIMD eq-scan of the one candidate segment) —
+  point lookups touching <=4 segments never pay a device round trip;
+- "tpu_scan" exercises the TPU TIER: the fused Pallas bit-unpack +
+  aggregate kernel streaming the whole compressed table from HBM
+  (SELECT count(*), sum(i) FROM t1), the reference's ScanOOM-style
+  workload (~4.1 s/100 scans there, benchmarks.csv:57-61);
+- "memory" is the reference's core claim: succinct vs plain footprint of
+  the same data (reference shows 17-50% reduction, BASELINE.md).
+
 Scale with ADACOM_BENCH_SCALE (default 1.0 = the full 100M rows)."""
 
 import json
@@ -25,11 +36,63 @@ def main():
     from adacom_tpu.bench.runner import run_benchmark
     from adacom_tpu.bench.succinct_benchmarks import SuccinctZipfDistribution
 
-    records = run_benchmark(SuccinctZipfDistribution, scale=scale, nruns=nruns)
-    mean_s = sum(r["timing"] for r in records) / len(records)
+    # ---- headline: Zipf point lookups over the compacted table ----
+    b = SuccinctZipfDistribution(scale)
+    state = {}
+    b.load(state)
+    db = state["db"]
+    cat = db.catalog.get_column_segment_catalog()
+    succinct_bytes = cat.get_total_data_size()
+    records = []
+    for run in range(nruns + 1):
+        t0 = time.perf_counter()
+        b.run(state)
+        timing = time.perf_counter() - t0
+        err = b.verify(state)
+        if err:
+            raise AssertionError(f"verification failed: {err}")
+        if run == 0:
+            continue  # discarded cold run
+        records.append(timing)
+        print(f"SuccinctZipfDistribution\t{run}\t{timing:.6f}\t"
+              f"{succinct_bytes}\t{cat.get_total_data_size()}",
+              file=sys.stderr, flush=True)
+    mean_s = sum(records) / len(records)
     baseline_s = 17.49  # benchmarks.csv:32-36 mean, 5 hot runs
-    size_packed = records[-1]["MemoryAllocationInBytes"]
-    size_logical = records[-1]["sizeInBytes"]
+
+    # ---- TPU tier: fused full-table compressed scan (Pallas kernel) ----
+    con = state["con"]
+    n = state["n"]
+    scan_sql = "SELECT count(*), sum(i) FROM t1"
+    res = con.query(scan_sql).fetchone()
+    assert int(res[0]) == n and int(res[1]) == n * (n - 1) // 2, res
+    n_scan = 20
+    t0 = time.perf_counter()
+    for _ in range(n_scan):
+        con.query(scan_sql)
+    scan_s = (time.perf_counter() - t0) / n_scan
+    # reference SuccinctScanOOM: 100 such scans over 150M rows in ~4.10 s
+    # (benchmarks.csv:57-61) -> per-scan time scaled to our row count
+    ref_scan_s = 4.10 / 100 * (n / 150e6)
+    tpu_scan = {
+        "query": scan_sql,
+        "time_s": round(scan_s, 5),
+        "packed_gbps": round(succinct_bytes / scan_s / 1e9, 1),
+        "grows_per_s": round(n / scan_s / 1e9, 2),
+        "vs_reference_scan": round(scan_s / ref_scan_s, 4),
+    }
+    b.cleanup(state)
+
+    # ---- memory story: plain (non-succinct) footprint of the same data ----
+    from adacom_tpu.bench.succinct_benchmarks import NonSuccinctZipfDistribution
+
+    b2 = NonSuccinctZipfDistribution(scale)
+    state2 = {}
+    b2.load(state2)
+    plain_bytes = state2["db"].catalog.get_column_segment_catalog() \
+        .get_total_data_size()
+    b2.cleanup(state2)
+
     out = {
         "metric": "SuccinctZipfDistribution (10k Zipf point lookups, "
                   f"{int(100e6 * scale)} rows)",
@@ -37,9 +100,16 @@ def main():
         "unit": "s",
         "vs_baseline": round(mean_s / baseline_s, 4),
         "detail": {
-            "hot_runs_s": [round(r["timing"], 4) for r in records],
-            "packed_bytes": size_packed,
-            "data_bytes_before": size_logical,
+            "tier": "host latency tier (zonemap + native eq-scan); "
+                    "tpu_scan below is the TPU tier",
+            "hot_runs_s": [round(r, 4) for r in records],
+            "tpu_scan": tpu_scan,
+            "memory": {
+                "succinct_bytes": succinct_bytes,
+                "non_succinct_bytes": plain_bytes,
+                "reduction": round(1 - succinct_bytes / plain_bytes, 4)
+                if plain_bytes else None,
+            },
             "scale": scale,
             "wall_total_s": round(time.time() - t_start, 1),
         },
