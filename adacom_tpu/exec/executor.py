@@ -1280,10 +1280,23 @@ class Executor:
             rmatched[ri] = True
             run = np.nonzero(~rmatched)[0]
 
-        lcols = [c[li] for c in left.cols]
-        lvalids = [None if v is None else v[li] for v in left.valids]
-        rcols = [c[ri] for c in right.cols]
-        rvalids = [None if v is None else v[ri] for v in right.valids]
+        if isinstance(li, np.memmap):
+            # spilled join: materialize output columns chunk-wise into
+            # disk-backed arrays (outer-join padding below falls back to
+            # RAM concatenation; the spill targets are inner joins)
+            from adacom_tpu.exec import spill
+
+            lcols = [spill.gather(c, li) for c in left.cols]
+            lvalids = [None if v is None else spill.gather(v, li)
+                       for v in left.valids]
+            rcols = [spill.gather(c, ri) for c in right.cols]
+            rvalids = [None if v is None else spill.gather(v, ri)
+                       for v in right.valids]
+        else:
+            lcols = [c[li] for c in left.cols]
+            lvalids = [None if v is None else v[li] for v in left.valids]
+            rcols = [c[ri] for c in right.cols]
+            rvalids = [None if v is None else v[ri] for v in right.valids]
 
         if jt in ("left", "full") and len(un):
             lcols = [np.concatenate([c, full_c[un]]) for c, full_c in zip(lcols, left.cols)]
@@ -1377,6 +1390,16 @@ class Executor:
             keys.append(arr)
         if not keys:
             return np.arange(mat.nrows)
+        budget = getattr(self.config, "memory_limit", None)
+        if budget and sum(k.nbytes for k in keys) * 3 > budget // 2 and \
+                len(keys[0]) > (1 << 18):
+            # out-of-core: external sample sort to a disk-backed
+            # permutation (reference merge_sorter.cpp capability)
+            from adacom_tpu.exec import spill
+
+            P = max(2, (sum(k.nbytes for k in keys) * 3)
+                    // max(budget // 8, 1))
+            return spill.external_sort_indices(keys, P)
         thresh = getattr(self.config, "device_sort_rows", 0)
         if thresh and len(keys[0]) >= thresh:
             # large sorts: order-normalize every key to u64 and run the
@@ -1409,6 +1432,16 @@ class Executor:
         if mat.nrows <= 1:
             return mat
         idx = self._sort_indices(node.keys, mat, lits)
+        if isinstance(idx, np.memmap):
+            # spilled sort: chunk-gather rows into disk-backed columns
+            from adacom_tpu.exec import spill
+
+            return Mat(
+                list(mat.names), list(mat.types), list(mat.dicts),
+                [spill.gather(c, idx) for c in mat.cols],
+                [None if v is None else spill.gather(v, idx)
+                 for v in mat.valids],
+            )
         return mat.take(idx)
 
     def _exec_topn(self, node: b.LogicalTopN, lits) -> Mat:
@@ -2152,6 +2185,15 @@ def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray],
         pair = _distributed_join_pairs(db, mesh, lk, rk)
         if pair is not None:
             return _verify_join_pairs(lkeys, rkeys, *pair)
+    budget = getattr(config, "memory_limit", None) if config else None
+    if budget and (len(lk) + len(rk)) * 24 > budget // 2:
+        # out-of-core: grace-hash-partitioned join with disk-backed pair
+        # streams (reference ProbeSpill, join_hashtable.cpp:16)
+        from adacom_tpu.exec import spill
+
+        P = max(2, ((len(lk) + len(rk)) * 24) // max(budget // 8, 1))
+        li, ri = spill.partitioned_join_pairs(lk, rk, P)
+        return spill.verify_pairs_chunked(lkeys, rkeys, li, ri)
     thresh = getattr(config, "device_join_rows", 0) if config else 0
     if thresh and len(lk) + len(rk) >= thresh:
         from adacom_tpu.ops import device_join
