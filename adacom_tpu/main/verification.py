@@ -6,12 +6,17 @@ unoptimized / deserialized / prepared variants re-executed and compared in
 PendingStatementOrPreparedStatementInternal, client_context.cpp:643+).
 
 Variants here:
-- ``copied``      — fresh bind + full optimize from the same AST (catches
-                    plan-cache poisoning and binder state mutation);
-- ``unoptimized`` — fresh bind + only the *required* rewrites (subquery
-                    decorrelation lives in push_filters, like the reference
-                    keeps binder-level rewrites) with TopN fusion and column
-                    pruning skipped (catches optimizer wrong-results bugs).
+- ``copied``       — fresh bind + full optimize from the same AST (catches
+                     plan-cache poisoning and binder state mutation);
+- ``unoptimized``  — fresh bind + only the *required* rewrites (subquery
+                     decorrelation lives in push_filters, like the reference
+                     keeps binder-level rewrites) with TopN fusion and column
+                     pruning skipped (catches optimizer wrong-results bugs);
+- ``deserialized`` — the optimized plan serialized to JSON text and
+                     reconstructed through sql/serialize.py, then executed
+                     (catches serializer gaps and hidden in-memory state
+                     the plan silently depends on — the reference's
+                     deserialized_statement_verifier.cpp).
 
 Enabled via ``SET query_verification_enabled = true`` (the reference enables
 it in debug builds / tests). Results are compared as row multisets; LIMIT
@@ -51,15 +56,29 @@ def verify_select(connection, stmt: ast.SelectStmt, lits,
     from adacom_tpu.main.result import QueryResult
 
     base = _rows_key(baseline_rows)
-    for variant in ("copied", "unoptimized"):
+    for variant in ("copied", "unoptimized", "deserialized"):
         binder = Binder(connection.db.catalog, connection.db.config)
         plan = binder.bind_select(stmt)
         if _has_unordered_limit(plan):
             return None
-        if variant == "copied":
-            plan = optimize(plan, set(binder.structural))
-        else:
+        if variant == "unoptimized":
             plan = push_filters(plan)  # required rewrites only
+        else:
+            plan = optimize(plan, set(binder.structural))
+        if variant == "deserialized":
+            import json
+
+            from adacom_tpu.sql.serialize import (deserialize_plan,
+                                                  serialize_plan)
+
+            try:
+                payload = json.dumps(
+                    serialize_plan(plan, connection.db.catalog))
+            except Exception as e:
+                raise VerificationError(
+                    f"verifier [deserialized]: serialization failed: {e}")
+            plan = deserialize_plan(json.loads(payload),
+                                    connection.db.catalog)
         mat = connection.executor.execute(plan, lits)
         rows = QueryResult(mat.names, mat.types, mat.cols, mat.valids,
                            mat.dicts).fetchall()

@@ -195,7 +195,8 @@ def _build_runner(width: int, n_lanes: int, n_seg: int):
     return run
 
 
-def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None):
+def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None,
+               device_out: bool = False):
     """Fused compressed scan over a stacked table of same-width segments.
 
     words:  (n_seg, width, n_lanes) uint32 packed planes (bitpack layout);
@@ -239,8 +240,7 @@ def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None):
     # launch in fixed-size segment chunks (tail padded to a power of two
     # with zero-count segments): segment counts vary per table/query, so
     # unchunked shapes would recompile per count and bloat SMEM
-    tot_s = tot_c = 0
-    gmin, gmax = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+    dev_outs = []
     off = 0
     while off < n_seg:
         take = min(CHUNK_SEGS, n_seg - off)
@@ -253,13 +253,30 @@ def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None):
             s_c = np.pad(s_c, ((0, padded - take), (0, 0)))
             m_c = np.pad(m_c, (0, padded - take))
         run = _build_runner(width, n_lanes, padded)
-        out = np.asarray(run(w_c, jnp.asarray(s_c), jnp.asarray(m_c)))
-        tot_s += int(out[0])
-        tot_c += int(out[1])
-        gmin = min(gmin, int(out[2]))
-        gmax = max(gmax, int(out[3]))
+        dev_outs.append(run(w_c, jnp.asarray(s_c), jnp.asarray(m_c)))
         off += take
-    return tot_s, tot_c, gmin, gmax
+    if device_out:
+        # leave results on device (callers time or fuse downstream; the
+        # device link charges ~tens of ms per host pull here)
+        return dev_outs
+    if len(dev_outs) > 1:
+        out = np.asarray(_merge_chunk_outs(*dev_outs))  # ONE pull
+    else:
+        out = np.asarray(dev_outs[0])
+    return int(out[0]), int(out[1]), int(out[2]), int(out[3])
+
+
+@jax.jit
+def _merge_chunk_outs(*vecs):
+    """Combine per-chunk [sum, count, min, max, ...] vectors on device so
+    a multi-chunk table scan still costs exactly one host pull."""
+    m = jnp.stack(vecs)
+    out = jnp.zeros((16,), jnp.int64)
+    out = out.at[0].set(m[:, 0].sum())
+    out = out.at[1].set(m[:, 1].sum())
+    out = out.at[2].set(m[:, 2].min())
+    out = out.at[3].set(m[:, 3].max())
+    return out
 
 
 def scan_sum_count(words: jax.Array, min_factor: int, count: int,

@@ -881,6 +881,32 @@ class Binder:
                     ty = v.ty if ty is None else tt.common_type(ty, v.ty)
             if el is not None and not (isinstance(el, b.BLiteral) and el.value is None):
                 ty = el.ty if ty is None else tt.common_type(ty, el.ty)
+            if ty is not None and ty.is_string:
+                # string-valued CASE: dictionary-encode literal branches so
+                # the runtime works on uint32 codes (reference: strings are
+                # first-class; here dictionaries are the string substrate)
+                from adacom_tpu.storage.table import StringDictionary
+
+                vals = [v for _, v in whens] + ([el] if el is not None else [])
+                if not all(isinstance(v, b.BLiteral) and (
+                        v.value is None or isinstance(v.value, str))
+                           for v in vals):
+                    raise BindError(
+                        "string CASE branches must be literals or NULL")
+                d = StringDictionary()
+
+                def enc(lit):
+                    if lit is None or lit.value is None:
+                        return lit
+                    if lit.param is not None:
+                        # the string's value is baked into the dictionary:
+                        # the plan must key on it
+                        self.structural.add(lit.param)
+                    return b.BLiteral(tt.VARCHAR, d.encode_one(str(lit.value)))
+
+                whens = [(c, enc(v)) for c, v in whens]
+                el = enc(el)
+                return b.BCase(ty, whens, el, dictionary=d)
             return b.BCase(ty or tt.INTEGER, whens, el)
         if isinstance(e, ast.Cast):
             o = self.bind_expr(e.operand, scope)
@@ -1133,6 +1159,8 @@ class Binder:
         if isinstance(e, (b.BColumn, b.BDictMap, b.BOuterCol)):
             return e.dictionary
         if isinstance(e, b.BCase):
+            if e.dictionary is not None:
+                return e.dictionary
             for _, v in e.whens:
                 d = self._expr_dict(v)
                 if d is not None:

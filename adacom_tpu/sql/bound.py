@@ -55,6 +55,9 @@ class BIsNull(BExpr):
 class BCase(BExpr):
     whens: List[Tuple[BExpr, BExpr]]
     else_: Optional[BExpr]
+    # VARCHAR CASE: branch string literals dictionary-encode at bind time
+    # and the result column carries this output dictionary
+    dictionary: Any = None
 
 
 @D

@@ -42,7 +42,9 @@ def main():
     import jax
     import jax.numpy as jnp
     from adacom_tpu.ops import bitpack, pallas_scan, segcodec
+    from adacom_tpu.utils.warmup import ensure_transfer_warm
 
+    ensure_transfer_warm()  # first device->host pull costs minutes here
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", str(dev))
     peak = next((v for k, v in HBM_GBPS.items() if k.lower() in kind.lower()),
@@ -82,14 +84,23 @@ def main():
     # ---- fused Pallas kernel ----
     s_, c_, _, _ = pallas_scan.scan_table(words, counts, mins, lo, hi)
     assert (s_, c_) == expect, ((s_, c_), expect)
+    # kernel-only: results stay on device (the tunneled device link costs
+    # ~tens of ms per host pull — reported separately as e2e)
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        jax.block_until_ready(pallas_scan.scan_table(
+            words, counts, mins, lo, hi, device_out=True))
+    dt_p = (time.perf_counter() - t0) / args.runs
+    gbps_p = packed_bytes / dt_p / 1e9
+    print(f"pallas fused scan (kernel): {dt_p * 1e3:8.3f} ms  "
+          f"{gbps_p:7.1f} GB/s  {rows / dt_p / 1e9:6.2f} Grows/s"
+          + (f"  ({100 * gbps_p / peak:.0f}% of roofline)" if peak else ""))
     t0 = time.perf_counter()
     for _ in range(args.runs):
         pallas_scan.scan_table(words, counts, mins, lo, hi)
-    dt_p = (time.perf_counter() - t0) / args.runs
-    gbps_p = packed_bytes / dt_p / 1e9
-    print(f"pallas fused scan: {dt_p * 1e3:8.3f} ms  {gbps_p:7.1f} GB/s  "
-          f"{rows / dt_p / 1e9:6.2f} Grows/s"
-          + (f"  ({100 * gbps_p / peak:.0f}% of roofline)" if peak else ""))
+    dt_pe = (time.perf_counter() - t0) / args.runs
+    print(f"pallas fused scan (+pull):  {dt_pe * 1e3:8.3f} ms  "
+          f"(host-pull overhead {1e3 * (dt_pe - dt_p):.1f} ms)")
 
     # ---- XLA fused decode+filter+agg (the engine's generic path) ----
     w = args.width
@@ -115,10 +126,10 @@ def main():
         jax.block_until_ready(xla_scan(words, mins_arr))
     dt_x = (time.perf_counter() - t0) / args.runs
     gbps_x = packed_bytes / dt_x / 1e9
-    print(f"XLA fused scan:    {dt_x * 1e3:8.3f} ms  {gbps_x:7.1f} GB/s  "
-          f"{rows / dt_x / 1e9:6.2f} Grows/s"
+    print(f"XLA fused scan (kernel):    {dt_x * 1e3:8.3f} ms  "
+          f"{gbps_x:7.1f} GB/s  {rows / dt_x / 1e9:6.2f} Grows/s"
           + (f"  ({100 * gbps_x / peak:.0f}% of roofline)" if peak else ""))
-    print(f"pallas/XLA speedup: {dt_x / dt_p:.2f}x")
+    print(f"pallas/XLA kernel speedup: {dt_x / dt_p:.2f}x")
     return 0
 
 
