@@ -86,6 +86,7 @@ def run_benchmark(cls, scale: float = 1.0, nruns: Optional[int] = None,
 
 
 def main(argv=None):
+    from adacom_tpu.bench import clickbench  # noqa: F401 registers
     from adacom_tpu.bench import succinct_benchmarks, tpch  # noqa: F401 registers
 
     ap = argparse.ArgumentParser(description="adacom_tpu benchmark runner")
