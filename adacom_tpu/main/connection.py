@@ -423,6 +423,10 @@ class Connection:
         if self._in_txn and self._txn_snapshot is not None:
             name = table.name
             if name not in self._txn_snapshot:
+                # seal staged rows into segments first: rollback truncation
+                # drops the staging buffers, which would otherwise lose
+                # pre-transaction rows that were still staged
+                table.flush()
                 self._txn_snapshot[name] = (
                     table.row_count(),
                     {k: v.copy() for k, v in table._deletes.items()},
@@ -457,10 +461,12 @@ class Connection:
         return None
 
     def _truncate_to(self, table, nrows: int):
+        # staged rows may include pre-snapshot data (appends unseal the
+        # trailing partial segment back into staging): seal everything
+        # into segments first, then truncate by row position
+        table.flush()
         for cname in table.column_order:
             col = table.columns[cname]
-            col._staging = []
-            col._staged_rows = 0
             total = 0
             keep = []
             for s in col.segments:

@@ -28,6 +28,14 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# ADACOM_PLATFORM=cpu|tpu forces the backend (the axon TPU plugin ignores
+# JAX_PLATFORMS from the environment; this config update does not)
+if os.environ.get("ADACOM_PLATFORM"):
+    try:
+        jax.config.update("jax_platforms", os.environ["ADACOM_PLATFORM"])
+    except Exception:
+        pass
+
 # persistent compilation cache: engine kernel shapes repeat across processes
 # (benchmarks, tests), so cache compiled executables on disk
 if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
