@@ -944,8 +944,11 @@ class Executor:
                 counts = np.asarray([e[1] for e in entries], np.int64)
                 mins = np.asarray([e[2] for e in entries], np.int64)
                 lanes = np.asarray([e[3] for e in entries], np.int64)
+                need_minmax = any(k in ("min", "max")
+                                  for k, _a, _acc, _d in specs)
                 s_, c_, mn_, mx_ = pallas_scan.scan_table(
-                    stacked, counts, mins, lo, hi, lanes=lanes)
+                    stacked, counts, mins, lo, hi, lanes=lanes,
+                    minmax=need_minmax)
                 tot_sum += s_
                 tot_cnt += c_
                 if c_ > 0:

@@ -408,6 +408,38 @@ class AlpCodec:
         dec = self.make_decoder(enc.meta, jnp.dtype(enc.meta[4]))
         return dec(enc.arrays)[idx]
 
+    def decode_host(self, enc: Encoded) -> np.ndarray:
+        """Exact decode on the HOST (IEEE f64 division).
+
+        On TPU, x64 mode emulates f64 as an f32 pair (~49 mantissa bits):
+        even a plain h2d->d2h f64 round-trip is lossy there, so on-device
+        ALP decode is exact only to ~5e-13 relative. The packed integer
+        planes ARE exact on device; this host path restores bit-exact
+        float materialization (the segment keeps host values for the
+        latency tier anyway, storage/segment.py host_plain)."""
+        _, widths, n_lanes, e, dtype = enc.meta
+        # integer pull is exact regardless of backend
+        ints = np.asarray(_decode_ints_host(enc)).astype(np.int64)
+        return (ints[: enc.count].astype(np.float64) /
+                np.float64(10.0 ** e)).astype(np.dtype(dtype))
+
+
+def _decode_ints_host(enc: Encoded):
+    """ALP helper: decode the packed integer planes (device ints are exact)."""
+    _, widths, n_lanes, e, dtype = enc.meta
+    mf = enc.arrays[-2]
+    ws, i = [], 0
+    for w in widths:
+        if w == 0:
+            ws.append(None)
+        else:
+            ws.append(enc.arrays[i])
+            i += 1
+    if all(w == 0 for w in widths):
+        return segcodec.decode_constant(mf, ROWS * n_lanes, jnp.int64)
+    return segcodec.decode_traced(tuple(ws), mf, widths=widths,
+                                  compute_dtype=jnp.int64)
+
 
 @dataclasses.dataclass(frozen=True)
 class _I64Like:
@@ -492,3 +524,13 @@ def _decode_full_jit(meta, compute_dtype, count, arrays):
 
 def gather(enc: Encoded, idx: jax.Array) -> jax.Array:
     return REGISTRY[enc.codec].gather(enc, idx)
+
+
+def decode_full_host(enc: Encoded, compute_dtype) -> np.ndarray:
+    """Exact host materialization: codecs whose device decode is subject
+    to the TPU's ~49-bit f64 emulation (ALP) decode on host; the rest just
+    pull the (exact) device decode."""
+    c = REGISTRY[enc.codec]
+    if hasattr(c, "decode_host"):
+        return c.decode_host(enc).astype(compute_dtype, copy=False)
+    return np.asarray(decode_full(enc, compute_dtype))

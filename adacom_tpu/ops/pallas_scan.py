@@ -5,15 +5,25 @@ succinct.cpp:124-144, plus the adjacent predicate and aggregate sink —
 fused here) written as an explicit VMEM-tiled kernel. The vertical lane
 layout of ops/bitpack.py makes every row's word index and bit offset
 *static* (row r of a lane group lives at bits [r*w, r*w+w)), so the kernel
-is 32 unrolled shift/mask/accumulate steps per lane tile — pure VPU work
-streaming each packed word from HBM exactly once.
+is 32 unrolled shift/mask/accumulate steps — pure VPU work streaming each
+packed word from HBM exactly once.
 
-One `pallas_call` scans an entire stacked table: grid = (n_seg, n_tiles),
-input (n_seg, width, n_lanes) uint32. Each program reduces its 32x256
-element tile into per-lane uint32 accumulators (sum of low/high 16-bit
-code halves, match count, code min/max) and writes one (8, 128) output
-block; the 64-bit totals are assembled OUTSIDE the kernel by a jitted XLA
-epilogue (sum = sum_codes + count * min_factor per segment).
+Throughput design (v2 — the v1 kernel ran at 3.7 GB/s on a 819 GB/s chip):
+- the packed lane axis is viewed as (8, L/8) so every vector op fills all
+  8 VPU sublanes (v1 used (1, 256) slices at 1/8 utilization);
+- each grid step processes a block of SEG_BLK whole segments (~2 MB of
+  packed words per DMA) instead of one 16 KB tile, so grid/DMA-latency
+  overhead amortizes away;
+- predicate comparisons and min/max tracking compile out entirely when the
+  caller doesn't need them (`SELECT count(*), sum(x)` runs the lean
+  variant).
+
+One `pallas_call` scans an entire stacked table: grid = (n_chunks,), input
+(n_seg, width, 8, L/8) uint32. Each program reduces its segments into
+per-segment (8, 128) uint32 partial rows (sum of low/high 16-bit code
+halves, match count, [code min, code max]); the 64-bit totals are
+assembled OUTSIDE the kernel by a jitted XLA epilogue
+(sum = sum_codes + count * min_factor per segment).
 
 x64-compat rules learned on real hardware (jax_enable_x64=True, which the
 engine always sets): Mosaic cannot lower 64-bit converts (`jnp.sum` to a
@@ -43,12 +53,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from adacom_tpu.ops import bitpack
 
-TILE_L = 256  # lanes per program: 32 rows x 256 lanes = 8192 elements
-CHUNK_SEGS = 512  # max segments per launch (bounds SMEM + compile variants)
+# lane-padding quantum: lanes reshape to (8, L/8) whose minor dim must be
+# a multiple of the 128-lane vreg width -> L must be a multiple of 1024
+TILE_L = 1024
+CHUNK_SEGS = 4096  # max segments per launch (bounds the SMEM scalar table)
+BLK_BYTES = 2 << 20  # target packed bytes per grid step
 _U32 = jnp.uint32
+_I32 = jnp.int32
 U32_MAX = 0xFFFFFFFF
 
-# output row layout inside each program's (8, 128) block
+# output row layout inside each segment's (n_out, 8, 128) block
 ROW_SUM_LO, ROW_SUM_HI, ROW_CNT, ROW_MIN, ROW_MAX = 0, 1, 2, 3, 4
 
 
@@ -61,111 +75,160 @@ def supported(width: int, n_lanes: int = TILE_L) -> bool:
     return 1 <= width <= 32 and n_lanes >= 1
 
 
-@functools.lru_cache(maxsize=64)
-def _build_table_scan(width: int, n_lanes: int, n_seg: int):
-    """pallas_call over (n_seg, width, n_lanes) words + (n_seg, 8) scalars.
+@functools.lru_cache(maxsize=128)
+def _build_table_scan(width: int, lane8: int, n_seg: int, seg_blk: int,
+                      pred: bool, minmax: bool):
+    """pallas_call over (n_seg, width, 8, lane8) words + (n_seg, 8) scalars.
 
-    scalars row: [count, lo_code, hi_code, 0...] all uint32.
-    Returns raw (n_seg * n_tiles * 8, 128) uint32 partials."""
-    if not supported(width, n_lanes):
-        raise ValueError(f"unsupported width={width} n_lanes={n_lanes}")
-    n_tiles = n_lanes // TILE_L
+    scalars row: [count, lo_code, hi_code, l_orig, 0...] all uint32 —
+    an empty predicate range is encoded by the CALLER as count = 0.
+    Returns raw (n_seg, n_out, 8, 128) uint32 partials; row layout depends
+    on the variant (see _row_layout)."""
+    if not supported(width, lane8 * 8):
+        raise ValueError(f"unsupported width={width}")
+    if n_seg % seg_blk:
+        raise ValueError("n_seg must be a multiple of seg_blk")
     mask_val = (1 << width) - 1 if width < 32 else U32_MAX
+    fold_f = max(1, lane8 // 128)
+    # single-accumulator mode: 32 codes + lane folding stay below 2^32
+    narrow = bitpack.ROWS * mask_val * fold_f < (1 << 32)
+    if not narrow and bitpack.ROWS * 0xFFFF * fold_f >= (1 << 32):
+        raise ValueError(f"segment too wide for u32 partials: lane8={lane8}")
+    rows_l, n_out = _row_layout(pred, minmax, narrow)
+    need_cnt = pred or minmax
 
     def kernel(scal_ref, words_ref, out_ref):
         mask_c = _U32(mask_val)
-        s = pl.program_id(0)
-        i = pl.program_id(1)
-        count = scal_ref[s, 0].astype(jnp.int32)
-        lo = scal_ref[s, 1]
-        hi = scal_ref[s, 2]
-        # the segment's true lane count: tail segments are zero-padded up
-        # to a TILE_L multiple, but the element order i = r*L + lane uses
-        # the ORIGINAL L, so the flat index must too
-        l_orig = scal_ref[s, 3].astype(jnp.int32)
-        lane0 = i * TILE_L
-        wm = words_ref[0]  # (width, TILE_L), read once from VMEM
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
-        lane_g = lane + lane0
+        c = pl.program_id(0)
+        for s in range(seg_blk):
+            idx = c * np.int32(seg_blk) + np.int32(s)
+            count = scal_ref[idx, 0].astype(_I32)
+            l_orig = scal_ref[idx, 3].astype(_I32)
+            if pred:
+                lo = scal_ref[idx, 1]
+                # unsigned-range trick: code in [lo, hi] iff
+                # (code - lo) <= (hi - lo) in uint32 arithmetic
+                span_c = scal_ref[idx, 2] - lo
+            wm = words_ref[s]  # (width, 8, lane8) VMEM
+            # global lane index of each (sublane, minor) position after
+            # the row-major (L,) -> (8, L/8) reshape: lane = a*lane8 + b
+            ia = jax.lax.broadcasted_iota(_I32, (8, lane8), 0)
+            ib = jax.lax.broadcasted_iota(_I32, (8, lane8), 1)
+            lane_g = ia * np.int32(lane8) + ib
 
-        zero = jnp.zeros((1, TILE_L), _U32)
-        one = jnp.full((1, TILE_L), 1, _U32)
-        ffff = jnp.full((1, TILE_L), U32_MAX, _U32)
-        s_lo = zero
-        s_hi = zero
-        cnt = zero
-        mn = ffff
-        mx = zero
-        in_lane = lane_g < l_orig
-        for r in range(bitpack.ROWS):
-            p = r * width
-            k, off = p >> 5, p & 31
-            code = wm[k].reshape(1, TILE_L)
-            if off:
-                code = code >> _U32(off)
-            if off + width > 32:
-                code = code | (wm[k + 1].reshape(1, TILE_L) << _U32(32 - off))
-            code = code & mask_c
-            # element order: flat index = r * l_orig + global lane
-            flat = lane_g + r * l_orig
-            keep = in_lane & (flat < count) & (code >= lo) & (code <= hi)
-            s_lo = s_lo + jnp.where(keep, code & _U32(0xFFFF), zero)
-            s_hi = s_hi + jnp.where(keep, code >> _U32(16), zero)
-            cnt = cnt + jnp.where(keep, one, zero)
-            # Mosaic has no arith.minui/maxui: select on an unsigned cmp
-            c_or_max = jnp.where(keep, code, ffff)
-            c_or_min = jnp.where(keep, code, zero)
-            mn = jnp.where(c_or_max < mn, c_or_max, mn)
-            mx = jnp.where(c_or_min > mx, c_or_min, mx)
+            zero = jnp.zeros((8, lane8), _U32)
+            one = jnp.full((8, lane8), 1, _U32)
+            acc = zero
+            if not narrow:
+                acc_hi = zero
+            if need_cnt:
+                cnt = zero
+            if minmax:
+                ffff = jnp.full((8, lane8), U32_MAX, _U32)
+                mn = ffff
+                mx = zero
+            for r in range(bitpack.ROWS):
+                p = r * width
+                k, off = p >> 5, p & 31
+                code = wm[k]
+                if off:
+                    code = code >> _U32(off)
+                if off + width > 32:
+                    code = code | (wm[k + 1] << _U32(32 - off))
+                code = code & mask_c
+                # valid iff global lane < l_orig AND flat index
+                # (= r*l_orig + lane) < count: both fold into one scalar
+                # threshold computed on the scalar core
+                thr = jnp.minimum(count - np.int32(r) * l_orig, l_orig)
+                keep = lane_g < thr
+                if pred:
+                    keep = keep & ((code - lo) <= span_c)
+                if narrow:
+                    acc = acc + jnp.where(keep, code, zero)
+                else:
+                    acc = acc + jnp.where(keep, code & _U32(0xFFFF), zero)
+                    acc_hi = acc_hi + jnp.where(keep, code >> _U32(16),
+                                                zero)
+                if need_cnt:
+                    cnt = cnt + jnp.where(keep, one, zero)
+                if minmax:
+                    # Mosaic has no arith.minui/maxui: select on cmp
+                    c_or_max = jnp.where(keep, code, ffff)
+                    c_or_min = jnp.where(keep, code, zero)
+                    mn = jnp.where(c_or_max < mn, c_or_max, mn)
+                    mx = jnp.where(c_or_min > mx, c_or_min, mx)
 
-        def fold(x):  # (1, TILE_L) -> (1, 128) by pairwise lane add
-            while x.shape[1] > 128:
-                h = x.shape[1] // 2
-                x = x[:, :h] + x[:, h:]
-            return x
+            def fold(x):  # (8, lane8) -> (8, 128) by pairwise lane add
+                while x.shape[1] > 128:
+                    h = x.shape[1] // 2
+                    x = x[:, :h] + x[:, h:]
+                return x
 
-        def foldm(x, is_min):
-            while x.shape[1] > 128:
-                h = x.shape[1] // 2
-                a, b_ = x[:, :h], x[:, h:]
-                x = jnp.where(a < b_ if is_min else a > b_, a, b_)
-            return x
+            def foldm(x, is_min):
+                while x.shape[1] > 128:
+                    h = x.shape[1] // 2
+                    a, b_ = x[:, :h], x[:, h:]
+                    x = jnp.where(a < b_ if is_min else a > b_, a, b_)
+                return x
 
-        pad = jnp.zeros((3, 128), _U32)
-        out_ref[...] = jnp.concatenate(
-            [fold(s_lo), fold(s_hi), fold(cnt),
-             foldm(mn, True), foldm(mx, False), pad],
-            axis=0).reshape(1, 8, 128)
+            parts = [fold(acc)]
+            if not narrow:
+                parts.append(fold(acc_hi))
+            if need_cnt:
+                parts.append(fold(cnt))
+            if minmax:
+                parts += [foldm(mn, True), foldm(mx, False)]
+            out_ref[s] = jnp.stack(parts, axis=0)
 
     # index maps must stay arithmetic-free and literal-free: under
     # jax_enable_x64, computed indices AND bare Python `0` literals trace
-    # as i64, which Mosaic cannot lower (func.return (i32, i64) legalize
-    # failure); np.int32 pins the dtype
+    # as i64, which Mosaic cannot lower; np.int32 pins the dtype
     z = np.int32(0)
+    n_chunks = n_seg // seg_blk
     call = pl.pallas_call(
         kernel,
-        grid=(n_seg, n_tiles),
+        grid=(n_chunks,),
         in_specs=[
             # whole (n_seg, 8) scalar table in SMEM, indexed by program id
-            # (a sub-array SMEM block trips the (8,128)-divisibility rule;
-            # the map must return np.int32 — a default/blockless spec
-            # synthesizes i64 zeros under x64, which Mosaic rejects)
-            pl.BlockSpec((n_seg, 8), lambda s, i: (z, z),
+            pl.BlockSpec((n_seg, 8), lambda c: (z, z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, width, TILE_L), lambda s, i: (s, z, i),
+            pl.BlockSpec((seg_blk, width, 8, lane8),
+                         lambda c: (c, z, z, z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda s, i: (s, i, z),
+        out_specs=pl.BlockSpec((seg_blk, n_out, 8, 128),
+                               lambda c: (c, z, z, z),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_seg, n_tiles * 8, 128), _U32),
+        out_shape=jax.ShapeDtypeStruct((n_seg, n_out, 8, 128), _U32),
         interpret=_interpret(),
     )
-    return call, n_tiles
+    return call, rows_l, narrow
 
 
-@functools.lru_cache(maxsize=64)
-def _build_runner(width: int, n_lanes: int, n_seg: int):
-    call, n_tiles = _build_table_scan(width, n_lanes, n_seg)
+def _row_layout(pred: bool, minmax: bool, narrow: bool):
+    """Output-row indices per variant -> (dict, n_out)."""
+    rows = {}
+    i = 0
+    rows["sum_lo"] = i
+    i += 1
+    if not narrow:
+        rows["sum_hi"] = i
+        i += 1
+    if pred or minmax:
+        rows["cnt"] = i
+        i += 1
+    if minmax:
+        rows["min"] = i
+        rows["max"] = i + 1
+        i += 2
+    return rows, i
+
+
+@functools.lru_cache(maxsize=128)
+def _build_runner(width: int, lane8: int, n_seg: int, seg_blk: int,
+                  pred: bool, minmax: bool):
+    call, rows_l, narrow = _build_table_scan(width, lane8, n_seg, seg_blk,
+                                             pred, minmax)
 
     @jax.jit
     def run(words, scalars, mins):
@@ -173,30 +236,47 @@ def _build_runner(width: int, n_lanes: int, n_seg: int):
 
         mins: (n_seg,) int64 frame-of-reference minima. vmin/vmax are in
         the VALUE domain and only meaningful when count > 0."""
-        raw = call(scalars, words).reshape(n_seg, n_tiles, 8, 128)
+        raw = call(scalars, words)
         i64 = jnp.int64
-        s_lo = raw[:, :, ROW_SUM_LO, :].astype(i64).sum(axis=(1, 2))
-        s_hi = raw[:, :, ROW_SUM_HI, :].astype(i64).sum(axis=(1, 2))
-        cnt = raw[:, :, ROW_CNT, :].astype(i64).sum(axis=(1, 2))
-        mn_c = raw[:, :, ROW_MIN, :].min(axis=(1, 2)).astype(i64)
-        mx_c = raw[:, :, ROW_MAX, :].max(axis=(1, 2)).astype(i64)
-        seg_sum = s_lo + (s_hi << 16) + cnt * mins
-        has = cnt > 0
-        big = jnp.asarray(np.iinfo(np.int64).max, i64)
-        gmin = jnp.min(jnp.where(has, mn_c + mins, big))
-        gmax = jnp.max(jnp.where(has, mx_c + mins, -big - 1))
+        if "cnt" in rows_l:
+            cnt = raw[:, rows_l["cnt"]].astype(i64).sum(axis=(1, 2))
+        else:
+            # no predicate: every valid row matches
+            cnt = scalars[:, 0].astype(i64)
+        if narrow:
+            code_sum = raw[:, rows_l["sum_lo"]].astype(i64).sum(axis=(1, 2))
+        else:
+            s_lo = raw[:, rows_l["sum_lo"]].astype(i64).sum(axis=(1, 2))
+            s_hi = raw[:, rows_l["sum_hi"]].astype(i64).sum(axis=(1, 2))
+            code_sum = s_lo + (s_hi << 16)
+        seg_sum = code_sum + cnt * mins
         out = jnp.zeros((16,), i64)
         out = out.at[0].set(seg_sum.sum())
         out = out.at[1].set(cnt.sum())
-        out = out.at[2].set(gmin)
-        out = out.at[3].set(gmax)
+        if minmax:
+            mn_c = raw[:, rows_l["min"]].min(axis=(1, 2)).astype(i64)
+            mx_c = raw[:, rows_l["max"]].max(axis=(1, 2)).astype(i64)
+            has = cnt > 0
+            big = jnp.asarray(np.iinfo(np.int64).max, i64)
+            gmin = jnp.min(jnp.where(has, mn_c + mins, big))
+            gmax = jnp.max(jnp.where(has, mx_c + mins, -big - 1))
+            out = out.at[2].set(gmin)
+            out = out.at[3].set(gmax)
         return out
 
     return run
 
 
+def _seg_blk_for(width: int, lane8: int, n_seg: int) -> int:
+    """Segments per grid step: ~BLK_BYTES of packed words, power of two."""
+    seg_bytes = width * 8 * lane8 * 4
+    blk = max(1, BLK_BYTES // seg_bytes)
+    blk = 1 << (blk.bit_length() - 1)  # floor to power of two
+    return min(blk, n_seg)
+
+
 def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None,
-               device_out: bool = False):
+               device_out: bool = False, minmax: bool = True):
     """Fused compressed scan over a stacked table of same-width segments.
 
     words:  (n_seg, width, n_lanes) uint32 packed planes (bitpack layout);
@@ -207,9 +287,10 @@ def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None,
     lo/hi:  inclusive predicate range in the VALUE domain (None = open)
     lanes:  (n_seg,) each segment's ORIGINAL lane count (defaults to the
             stacked lane dim) — element order is i = r*lanes[s] + lane
+    minmax: False skips min/max tracking (leaner kernel for sum/count)
 
     Returns (sum, count, vmin, vmax) as python ints; vmin/vmax only valid
-    when count > 0. Exact for 32-bit integer domains.
+    when count > 0 and minmax=True. Exact for 32-bit integer domains.
     """
     n_seg, width, n_lanes = (int(words.shape[0]), int(words.shape[1]),
                              int(words.shape[2]))
@@ -221,6 +302,8 @@ def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None,
         pad = TILE_L - n_lanes % TILE_L
         words = jnp.pad(words, ((0, 0), (0, 0), (0, pad)))
         n_lanes += pad
+    lane8 = n_lanes // 8
+    pred = not (lo is None and hi is None)
     scal = np.zeros((n_seg, 8), dtype=np.uint32)
     scal[:, 0] = counts.astype(np.uint32)
     scal[:, 3] = lanes_arr.astype(np.uint32)
@@ -232,10 +315,14 @@ def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None,
     hi_c = np.clip(hi_v - mins64, -1, U32_MAX)
     scal[:, 1] = lo_c.astype(np.uint32)
     scal[:, 2] = np.where(hi_c < 0, 0, hi_c).astype(np.uint32)
+    # (hi_c < lo_c would wrap the kernel's unsigned span to match-all)
     empty = hi_c < lo_c
     if empty.any():
-        scal[empty, 1] = 1
+        scal[empty, 0] = 0
+        scal[empty, 1] = 0
         scal[empty, 2] = 0
+
+    words = words.reshape(n_seg, width, 8, lane8)
 
     # launch in fixed-size segment chunks (tail padded to a power of two
     # with zero-count segments): segment counts vary per table/query, so
@@ -245,14 +332,15 @@ def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None,
     while off < n_seg:
         take = min(CHUNK_SEGS, n_seg - off)
         padded = 1 << (take - 1).bit_length()
+        blk = _seg_blk_for(width, lane8, padded)
         w_c = words[off:off + take]
         s_c = scal[off:off + take]
         m_c = mins64[off:off + take]
         if padded != take:
-            w_c = jnp.pad(w_c, ((0, padded - take), (0, 0), (0, 0)))
+            w_c = jnp.pad(w_c, ((0, padded - take), (0, 0), (0, 0), (0, 0)))
             s_c = np.pad(s_c, ((0, padded - take), (0, 0)))
             m_c = np.pad(m_c, (0, padded - take))
-        run = _build_runner(width, n_lanes, padded)
+        run = _build_runner(width, lane8, padded, blk, pred, minmax)
         dev_outs.append(run(w_c, jnp.asarray(s_c), jnp.asarray(m_c)))
         off += take
     if device_out:
@@ -286,5 +374,6 @@ def scan_sum_count(words: jax.Array, min_factor: int, count: int,
 
     words: (width, n_lanes) uint32 packed plane (ops/bitpack layout).
     Returns (sum int64, count int64) — exact for 32-bit domains."""
-    s, c, _, _ = scan_table(words[None], [count], [int(min_factor)], lo, hi)
+    s, c, _, _ = scan_table(words[None], [count], [int(min_factor)], lo, hi,
+                            minmax=False)
     return s, c

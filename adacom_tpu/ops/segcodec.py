@@ -46,6 +46,16 @@ class PackedData:
     count: int
     n_lanes: int
     dtype: np.dtype  # logical storage dtype
+    # lazily-built device scalar of min_factor: building it per read costs
+    # a tiny H2D transfer (~1 ms each through the device tunnel) which
+    # dominated full-table scans before it was cached here
+    _mf_dev: Optional[jax.Array] = dataclasses.field(
+        default=None, compare=False, repr=False)
+
+    def mf_dev(self) -> jax.Array:
+        if self._mf_dev is None:
+            self._mf_dev = jnp.asarray(self.min_factor, dtype=self.dtype)
+        return self._mf_dev
 
     @property
     def nbytes(self) -> int:

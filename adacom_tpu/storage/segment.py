@@ -354,7 +354,7 @@ class ColumnSegment:
                 if self._encx is not None:
                     return self._encx.meta, self._encx.arrays
                 p = self._packed
-                mf = jnp.asarray(p.min_factor, dtype=p.dtype)
+                mf = p.mf_dev()
                 arrays = tuple(w for w in p.words if w is not None) + (mf,)
                 return ("packed", p.meta), arrays
             arr = self._plain
@@ -385,7 +385,7 @@ class ColumnSegment:
             if self._state == PACKED:
                 p = self._packed
                 meta = ("packed", p.meta)
-                mf = jnp.asarray(p.min_factor, dtype=p.dtype)
+                mf = p.mf_dev()
                 arrays = tuple(w for w in p.words if w is not None) + (mf,)
                 widths = p.widths
                 cdt = self.compute_dtype

@@ -65,9 +65,36 @@ def test_rle_floats():
 
 
 def test_alp_exact_decimals():
+    """ALP contract: the packed integer planes are exact on every backend;
+    the f64 decode is bit-exact on IEEE backends (CPU) and via the host
+    materialization path (decode_full_host) everywhere. On TPU, x64 f64 is
+    an f32-pair emulation (~49 mantissa bits; even a plain h2d->d2h f64
+    round-trip is lossy), so the DEVICE decode is only exact to ~5e-13
+    relative — the engine materializes float results from the host path."""
+    import jax
+
     rng = np.random.default_rng(11)
     v = (rng.integers(-10_000, 10_000, 8000) / 100.0).astype(np.float64)
-    enc = _roundtrip("alp", v, tt.DOUBLE)
+    cfg = at.DBConfig()
+    c = codecs.REGISTRY["alp"]
+    assert c.analyze(v, tt.DOUBLE, cfg) is not None
+    enc = c.encode(v, tt.DOUBLE, cfg)
+    # host materialization: bit-exact on every backend
+    np.testing.assert_array_equal(codecs.decode_full_host(enc, v.dtype), v)
+    dev = np.asarray(codecs.decode_full(enc, v.dtype))
+    if jax.default_backend() == "tpu":
+        np.testing.assert_allclose(dev, v, rtol=5e-13)
+    else:
+        np.testing.assert_array_equal(dev, v)
+    rng2 = np.random.default_rng(7)
+    idx = rng2.integers(0, len(v), size=64)
+    import jax.numpy as jnp
+
+    got = np.asarray(codecs.gather(enc, jnp.asarray(idx)))
+    if jax.default_backend() == "tpu":
+        np.testing.assert_allclose(got, v[idx], rtol=5e-13)
+    else:
+        np.testing.assert_array_equal(got, v[idx])
     assert enc.nbytes < v.nbytes / 2
 
 

@@ -81,50 +81,106 @@ def main():
     m = (a >= lo) & (a <= hi)
     expect = (int(a[m].sum()), int(m.sum()))
 
+    # The tunneled device link imposes a fixed ~25 ms latency on every
+    # SYNCHRONIZED dispatch, independent of data size, hiding any kernel
+    # under it. Kernel time is therefore measured amortized: K iterations
+    # chained inside ONE jit (each iteration's scalar inputs depend on the
+    # previous result, so XLA cannot hoist or CSE the kernel), one pull.
+    K = args.runs
+
     # ---- fused Pallas kernel ----
-    s_, c_, _, _ = pallas_scan.scan_table(words, counts, mins, lo, hi)
+    s_, c_, _, _ = pallas_scan.scan_table(words, counts, mins, lo, hi,
+                                          minmax=False)
     assert (s_, c_) == expect, ((s_, c_), expect)
-    # kernel-only: results stay on device (the tunneled device link costs
-    # ~tens of ms per host pull — reported separately as e2e)
+
+    n_lanes = int(words.shape[2])
+    lane8 = n_lanes // 8
+    n_pad = 1 << (n_seg - 1).bit_length()
+    blk = pallas_scan._seg_blk_for(args.width, lane8, n_pad)
+    run = pallas_scan._build_runner(args.width, lane8, n_pad, blk,
+                                    True, False)
+    mins64 = np.asarray(mins, np.int64)
+    scal = np.zeros((n_seg, 8), dtype=np.uint32)
+    scal[:, 0] = np.asarray(counts, np.uint32)
+    scal[:, 3] = n_lanes
+    scal[:, 1] = np.clip(lo - mins64, 0, 0xFFFFFFFF).astype(np.uint32)
+    scal[:, 2] = np.clip(hi - mins64, 0, 0xFFFFFFFF).astype(np.uint32)
+    w_c = words.reshape(n_seg, args.width, 8, lane8)
+    if n_pad != n_seg:
+        w_c = jnp.pad(w_c, ((0, n_pad - n_seg), (0, 0), (0, 0), (0, 0)))
+        scal = np.pad(scal, ((0, n_pad - n_seg), (0, 0)))
+        mins64 = np.pad(mins64, (0, n_pad - n_seg))
+    scal_d = jnp.asarray(scal)
+    mins_d = jnp.asarray(mins64)
+
+    import jax.numpy as jnp2
+
+    def chained(runner):
+        @jax.jit
+        def f(wds, scal0, mn):
+            def body(i, acc):
+                # data-dependent scalar tweak in an UNUSED slot serializes
+                # the iterations without changing semantics
+                s2 = scal0.at[0, 5].set(acc[1].astype(jnp2.uint32))
+                return runner(wds, s2, mn)
+            return jax.lax.fori_loop(0, K, body,
+                                     jnp2.zeros((16,), jnp2.int64))
+        return f
+
+    chain_p = chained(run)
+    out = np.asarray(chain_p(w_c, scal_d, mins_d))
+    assert (int(out[0]), int(out[1])) == expect, (out, expect)
     t0 = time.perf_counter()
-    for _ in range(args.runs):
-        jax.block_until_ready(pallas_scan.scan_table(
-            words, counts, mins, lo, hi, device_out=True))
-    dt_p = (time.perf_counter() - t0) / args.runs
+    np.asarray(chain_p(w_c, scal_d, mins_d))
+    dt_p = (time.perf_counter() - t0) / K
     gbps_p = packed_bytes / dt_p / 1e9
     print(f"pallas fused scan (kernel): {dt_p * 1e3:8.3f} ms  "
           f"{gbps_p:7.1f} GB/s  {rows / dt_p / 1e9:6.2f} Grows/s"
           + (f"  ({100 * gbps_p / peak:.0f}% of roofline)" if peak else ""))
     t0 = time.perf_counter()
-    for _ in range(args.runs):
-        pallas_scan.scan_table(words, counts, mins, lo, hi)
-    dt_pe = (time.perf_counter() - t0) / args.runs
-    print(f"pallas fused scan (+pull):  {dt_pe * 1e3:8.3f} ms  "
-          f"(host-pull overhead {1e3 * (dt_pe - dt_p):.1f} ms)")
+    pallas_scan.scan_table(words, counts, mins, lo, hi, minmax=False)
+    dt_pe = time.perf_counter() - t0
+    print(f"pallas fused scan (e2e):    {dt_pe * 1e3:8.3f} ms  "
+          f"(fixed device-link sync latency {1e3 * (dt_pe - dt_p):.1f} ms)")
 
     # ---- XLA fused decode+filter+agg (the engine's generic path) ----
     w = args.width
 
-    @jax.jit
-    def xla_scan(words, mins_arr):
-        def seg(wds, mf):
-            codes = bitpack.unpack(wds, width=w).reshape(-1)
+    def xla_scan_once(wds, mins_arr, lo_a, hi_a):
+        def seg(wd, mf):
+            codes = bitpack.unpack(wd, width=w).reshape(-1)
             v = codes + mf
-            keep = (v >= np.uint32(lo)) & (v <= np.uint32(hi))
+            keep = (v >= lo_a) & (v <= hi_a)
             s = jnp.sum(jnp.where(keep, v.astype(jnp.int64),
                                   jnp.zeros((), jnp.int64)))
             c = jnp.sum(keep.astype(jnp.int64))
             return s, c
-        ss, cs = jax.vmap(seg)(words, mins_arr)
+        ss, cs = jax.vmap(seg)(wds, mins_arr)
         return ss.sum(), cs.sum()
+
+    @jax.jit
+    def xla_scan(wds, mins_arr):
+        return xla_scan_once(wds, mins_arr, np.uint32(lo), np.uint32(hi))
 
     mins_arr = jnp.asarray(np.asarray(mins, np.uint32))
     s2, c2 = (int(x) for x in xla_scan(words, mins_arr))
     assert (s2, c2) == expect, ((s2, c2), expect)
+
+    @jax.jit
+    def chain_x(wds, mins_arr):
+        def body(i, acc):
+            # serialize via a data-dependent +0 on the (tiny) mins array
+            zero_dep = (acc[1] % 1).astype(jnp.uint32)
+            s, c = xla_scan_once(wds, mins_arr + zero_dep,
+                                 np.uint32(lo), np.uint32(hi))
+            return jnp.stack([s, c])
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((2,), jnp.int64))
+
+    out = np.asarray(chain_x(words, mins_arr))
+    assert (int(out[0]), int(out[1])) == expect
     t0 = time.perf_counter()
-    for _ in range(args.runs):
-        jax.block_until_ready(xla_scan(words, mins_arr))
-    dt_x = (time.perf_counter() - t0) / args.runs
+    np.asarray(chain_x(words, mins_arr))
+    dt_x = (time.perf_counter() - t0) / K
     gbps_x = packed_bytes / dt_x / 1e9
     print(f"XLA fused scan (kernel):    {dt_x * 1e3:8.3f} ms  "
           f"{gbps_x:7.1f} GB/s  {rows / dt_x / 1e9:6.2f} Grows/s"
