@@ -110,4 +110,10 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # delegate to the canonical module: under `python -m`, this file runs
+    # as `__main__`, but benchmark classes register themselves against the
+    # `adacom_tpu.bench.runner` instance — using the local REGISTRY here
+    # would read an empty duplicate
+    from adacom_tpu.bench.runner import main as _main
+
+    sys.exit(_main())

@@ -233,6 +233,28 @@ class ExprCompiler:
                 return t[jnp.minimum(v, t.shape[0] - 1)], m
             return fn
 
+        if isinstance(e, b.BDictIntMap):
+            # integer string fn (length/strpos/ascii): per-code int LUT
+            cf = self._c(e.operand)
+            lut = np.asarray(e.lut, dtype=np.int64)
+            if lut.size == 0:
+                lut = np.zeros(1, dtype=np.int64)
+
+            def fn(cols, args):
+                v, m = cf(cols, args)
+                t = jnp.asarray(lut)
+                return t[jnp.minimum(v, t.shape[0] - 1)], m
+            return fn
+
+        if isinstance(e, b.BCodeDict):
+            # operand already yields codes into e.dictionary
+            cf = self._c(e.operand)
+
+            def fn(cols, args):
+                v, m = cf(cols, args)
+                return v.astype(jnp.uint32), m
+            return fn
+
         if isinstance(e, b.BFunc):
             return self._c_func(e)
 
@@ -529,12 +551,21 @@ class ExprCompiler:
             def get_pat(lits):
                 return pval
 
+        kind = getattr(e, "kind", "like")
+
         def prep(lits):
             pattern = get_pat(lits)
-            rx = re.compile(like_to_regex(pattern), re.IGNORECASE if ci else 0)
+            flags = re.IGNORECASE if ci else 0
+            if kind == "regex":
+                # regexp_matches: partial match anywhere (re.search)
+                rx = re.compile(pattern, flags)
+                hit = rx.search
+            else:
+                rx = re.compile(like_to_regex(pattern), flags)
+                hit = rx.match
             strs = dict_.strings_array()
             lut = np.fromiter(
-                (rx.match(s) is not None for s in strs),
+                (hit(s) is not None for s in strs),
                 dtype=np.bool_, count=len(strs),
             )
             if len(lut) == 0:
@@ -577,14 +608,166 @@ class ExprCompiler:
                     return jnp.round(v * mul) / mul, m
                 return jnp.round(v), m
             return fn
-        if name in ("extract_year", "extract_month", "extract_day"):
+        if name in ("sqrt", "exp", "ln", "log10", "log2", "sin", "cos",
+                    "tan", "asin", "acos", "atan", "cbrt"):
+            f = {"sqrt": jnp.sqrt, "exp": jnp.exp, "ln": jnp.log,
+                 "log10": jnp.log10, "log2": jnp.log2, "sin": jnp.sin,
+                 "cos": jnp.cos, "tan": jnp.tan, "asin": jnp.arcsin,
+                 "acos": jnp.arccos, "atan": jnp.arctan,
+                 "cbrt": jnp.cbrt}[name]
+
+            def fn(cols, args):
+                v, m = afs[0](cols, args)
+                return f(v.astype(jnp.float64)), m
+            return fn
+        if name in ("degrees", "radians"):
+            k = 180.0 / np.pi if name == "degrees" else np.pi / 180.0
+
+            def fn(cols, args):
+                v, m = afs[0](cols, args)
+                return v.astype(jnp.float64) * jnp.float64(k), m
+            return fn
+        if name in ("power", "atan2"):
+            f = jnp.power if name == "power" else jnp.arctan2
+
+            def fn(cols, args):
+                x, mx = afs[0](cols, args)
+                y, my = afs[1](cols, args)
+                return (f(x.astype(jnp.float64), y.astype(jnp.float64)),
+                        _and_mask(mx, my))
+            return fn
+        if name == "sign":
+            def fn(cols, args):
+                v, m = afs[0](cols, args)
+                return jnp.sign(v).astype(jnp.int64), m
+            return fn
+        if name == "trunc":
+            def fn(cols, args):
+                v, m = afs[0](cols, args)
+                return jnp.trunc(v.astype(jnp.float64)), m
+            return fn
+        if name == "mod":
+            def fn(cols, args):
+                x, mx = afs[0](cols, args)
+                y, my = afs[1](cols, args)
+                m = _and_mask(mx, my)
+                if np.dtype(x.dtype).kind == "f" or \
+                        np.dtype(y.dtype).kind == "f":
+                    xf = x.astype(jnp.float64)
+                    yf = y.astype(jnp.float64)
+                    r = xf - jnp.trunc(xf / yf) * yf  # C fmod semantics
+                    bad = yf == jnp.float64(0.0)
+                else:
+                    safe = jnp.where(y == 0, jnp.ones_like(y), y)
+                    r = x % safe
+                    # % follows the divisor's sign; SQL mod follows the
+                    # dividend's (truncated division)
+                    fix = (r != 0) & ((r < 0) != (x < 0))
+                    r = jnp.where(fix, r - safe, r)
+                    bad = y == 0
+                ones = jnp.ones(r.shape, jnp.bool_)
+                m2 = (ones if m is None else m) & ~bad
+                return r, m2
+            return fn
+        if name in ("greatest", "least"):
+            is_g = name == "greatest"
+
+            def fn(cols, args):
+                # Postgres/DuckDB semantics: NULL args ignored; NULL only
+                # when every argument is NULL
+                v, m = afs[0](cols, args)
+                for af in afs[1:]:
+                    nv, nm = af(cols, args)
+                    pick = nv > v if is_g else nv < v
+                    if nm is not None:
+                        pick = pick & nm
+                    if m is not None:
+                        pick = pick | ~m
+                    v = jnp.where(pick, nv.astype(v.dtype), v)
+                    if m is None or nm is None:
+                        m = None
+                    else:
+                        m = m | nm
+                return v, m
+            return fn
+        if name in ("extract_year", "extract_month", "extract_day",
+                    "extract_quarter", "extract_week", "extract_dow",
+                    "extract_doy", "extract_epoch"):
             part = name.split("_")[1]
 
             def fn(cols, args):
                 v, m = afs[0](cols, args)
-                y, mo, d = _civil_from_days(v.astype(jnp.int64))
-                out = {"year": y, "month": mo, "day": d}[part]
+                days = v.astype(jnp.int64)
+                if part == "epoch":
+                    return days * jnp.int64(86400), m
+                if part == "dow":
+                    # Sunday = 0 (1970-01-01 was a Thursday -> 4)
+                    return (days + jnp.int64(4)) % jnp.int64(7), m
+                if part == "week":
+                    return _iso_week(days), m
+                y, mo, d = _civil_from_days(days)
+                if part == "quarter":
+                    out = (mo + 2) // 3
+                elif part == "doy":
+                    out = days - _days_from_civil(y, jnp.ones_like(mo),
+                                                  jnp.ones_like(d)) + 1
+                else:
+                    out = {"year": y, "month": mo, "day": d}[part]
                 return out.astype(jnp.int64), m
+            return fn
+        if name == "date_trunc":
+            # bound as date_trunc with args = [part literal, date]; the
+            # binder folds the part into the name? no — literal arg 0
+            def fn_factory(part):
+                def fn(cols, args):
+                    v, m = afs[1](cols, args)
+                    days = v.astype(jnp.int64)
+                    if part == "day":
+                        return days.astype(jnp.int32), m
+                    if part == "week":
+                        # truncate to Monday
+                        return (days - (days + jnp.int64(3)) %
+                                jnp.int64(7)).astype(jnp.int32), m
+                    y, mo, d = _civil_from_days(days)
+                    one = jnp.ones_like(mo)
+                    if part == "month":
+                        out = _days_from_civil(y, mo, one)
+                    elif part == "quarter":
+                        qm = ((mo - 1) // 3) * 3 + 1
+                        out = _days_from_civil(y, qm, one)
+                    else:  # year
+                        out = _days_from_civil(y, one, one)
+                    return out.astype(jnp.int32), m
+                return fn
+            part = e.args[0]
+            pv = str(part.value).lower() if isinstance(part, b.BLiteral) \
+                else "day"
+            return fn_factory(pv)
+        if name == "last_day":
+            def fn(cols, args):
+                v, m = afs[0](cols, args)
+                y, mo, d = _civil_from_days(v.astype(jnp.int64))
+                tot = y * 12 + mo  # first of next month
+                out = _days_from_civil(tot // 12, tot % 12 + 1,
+                                       jnp.ones_like(d)) - 1
+                return out.astype(jnp.int32), m
+            return fn
+        if name in ("date_diff_day", "date_diff_month", "date_diff_year"):
+            part = name.split("_")[2]
+
+            def fn(cols, args):
+                a, ma = afs[0](cols, args)
+                c, mc = afs[1](cols, args)
+                m = _and_mask(ma, mc)
+                da = a.astype(jnp.int64)
+                dc = c.astype(jnp.int64)
+                if part == "day":
+                    return dc - da, m
+                ya, moa, _ = _civil_from_days(da)
+                yc, moc, _ = _civil_from_days(dc)
+                if part == "month":
+                    return (yc * 12 + moc) - (ya * 12 + moa), m
+                return yc - ya, m
             return fn
         if name == "date_add":
             def fn(cols, args):
@@ -611,6 +794,24 @@ class ExprCompiler:
                 return v, m
             return fn
         raise NotImplementedError(f"function {name}")
+
+
+def _and_mask(a, b_):
+    """Combine validity masks (None = all valid)."""
+    if a is None:
+        return b_
+    if b_ is None:
+        return a
+    return a & b_
+
+
+def _iso_week(days):
+    """ISO-8601 week number from days-since-epoch (vectorized)."""
+    dow_mon0 = (days + jnp.int64(3)) % jnp.int64(7)  # Monday = 0
+    thursday = days - dow_mon0 + jnp.int64(3)
+    y, _, _ = _civil_from_days(thursday)
+    jan1 = _days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
+    return (thursday - jan1) // jnp.int64(7) + jnp.int64(1)
 
 
 # --- Howard Hinnant's civil-date algorithms, vectorized (branch-free) ----

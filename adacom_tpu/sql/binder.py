@@ -982,36 +982,178 @@ class Binder:
             return b.BLiteral(tt.DOUBLE, v, e.param)
         return b.BLiteral(tt.VARCHAR, v, e.param)
 
+    _EXTRACT_ALIASES = {
+        "year": "year", "month": "month", "day": "day",
+        "quarter": "quarter", "week": "week", "dow": "dow",
+        "dayofweek": "dow", "doy": "doy", "dayofyear": "doy",
+        "epoch": "epoch",
+    }
+
     def _bind_scalar_func(self, name: str, args: List[b.BExpr]) -> b.BExpr:
         name = name.lower()
         if name in ("abs",):
             return b.BFunc(args[0].ty, name, args)
-        if name in ("floor", "ceil", "ceiling", "round"):
+        if name in ("floor", "ceil", "ceiling", "round", "trunc"):
             return b.BFunc(tt.DOUBLE if args[0].ty.is_float else args[0].ty, name, args)
-        if name in ("extract_year", "year"):
-            return b.BFunc(tt.BIGINT, "extract_year", args)
-        if name in ("extract_month", "month"):
-            return b.BFunc(tt.BIGINT, "extract_month", args)
-        if name in ("extract_day", "day"):
-            return b.BFunc(tt.BIGINT, "extract_day", args)
+        if name in ("sqrt", "cbrt", "exp", "ln", "log2", "log10", "sin",
+                    "cos", "tan", "asin", "acos", "atan", "degrees",
+                    "radians"):
+            return b.BFunc(tt.DOUBLE, name, args)
+        if name == "log":  # DuckDB: log(x) is log10
+            return b.BFunc(tt.DOUBLE, "log10", args)
+        if name in ("power", "pow"):
+            return b.BFunc(tt.DOUBLE, "power", args)
+        if name == "atan2":
+            return b.BFunc(tt.DOUBLE, "atan2", args)
+        if name == "pi":
+            return b.BLiteral(tt.DOUBLE, 3.141592653589793)
+        if name == "sign":
+            return b.BFunc(tt.BIGINT, "sign", args)
+        if name == "mod":
+            ty = tt.DOUBLE if (args[0].ty.is_float or args[1].ty.is_float) \
+                else tt.common_type(args[0].ty, args[1].ty)
+            return b.BFunc(ty, "mod", args)
+        if name in ("greatest", "least"):
+            ty = args[0].ty
+            for a in args[1:]:
+                ty = tt.common_type(ty, a.ty)
+            return b.BFunc(ty, name, args)
+        if name == "nullif":
+            # NULLIF(a, b) == CASE WHEN a = b THEN NULL ELSE a END
+            cond = self._type_binary("=", args[0], args[1])
+            return b.BCase(args[0].ty,
+                           [(cond, b.BLiteral(args[0].ty, None))], args[0],
+                           dictionary=getattr(args[0], "dictionary", None))
+        if name in ("ifnull",):
+            return self._bind_scalar_func("coalesce", args[:2])
+        if name in ("iif", "if"):
+            ty = tt.common_type(args[1].ty, args[2].ty)
+            return b.BCase(ty, [(args[0], args[1])], args[2],
+                           dictionary=getattr(args[1], "dictionary", None))
+        if name in self._EXTRACT_ALIASES:
+            return b.BFunc(tt.BIGINT,
+                           "extract_" + self._EXTRACT_ALIASES[name], args)
+        if name.startswith("extract_"):
+            part = name[len("extract_"):]
+            if part in self._EXTRACT_ALIASES:
+                return b.BFunc(tt.BIGINT,
+                               "extract_" + self._EXTRACT_ALIASES[part],
+                               args)
+        if name == "date_trunc":
+            return b.BFunc(tt.DATE, "date_trunc", args)
+        if name == "last_day":
+            return b.BFunc(tt.DATE, "last_day", args)
+        if name in ("date_diff", "datediff"):
+            part = args[0]
+            if isinstance(part, b.BLiteral):
+                p = str(part.value).lower().rstrip("s")
+                if p in ("day", "month", "year"):
+                    return b.BFunc(tt.BIGINT, f"date_diff_{p}", args[1:])
+            raise BindError("date_diff part must be 'day'/'month'/'year'")
+        if name in ("monthname", "dayname"):
+            return self._bind_name_of_date(name, args[0])
         if name == "coalesce":
             ty = args[0].ty
             for a in args[1:]:
                 if not (isinstance(a, b.BLiteral) and a.value is None):
                     ty = tt.common_type(ty, a.ty)
             return b.BFunc(ty, "coalesce", args)
-        if name in ("length", "len"):
-            return b.BFunc(tt.BIGINT, "length", args)
+        if name in ("length", "len", "strpos", "instr", "position", "ascii"):
+            return self._bind_int_string_func(name, args)
+        if name in ("contains", "starts_with", "prefix", "ends_with",
+                    "suffix", "regexp_matches"):
+            return self._bind_string_predicate_func(name, args)
         if name in ("lower", "upper", "substring", "substr", "trim", "ltrim",
-                    "rtrim", "concat"):
+                    "rtrim", "concat", "replace", "left", "right", "lpad",
+                    "rpad", "reverse", "repeat", "split_part", "initcap"):
             return self._bind_string_func(
                 name if name != "substr" else "substring", args)
         if name == "date_part":
             # date_part('year', d)
             part = args[0]
             if isinstance(part, b.BLiteral):
-                return b.BFunc(tt.BIGINT, "extract_" + str(part.value).lower(), [args[1]])
+                p = str(part.value).lower()
+                p = self._EXTRACT_ALIASES.get(p, p)
+                return b.BFunc(tt.BIGINT, "extract_" + p, [args[1]])
         raise BindError(f"unknown function {name}")
+
+    def _bind_name_of_date(self, name: str, arg: b.BExpr) -> b.BExpr:
+        """monthname/dayname: device computes the code, static dictionary
+        holds the 12/7 names (BCodeDict)."""
+        from adacom_tpu.storage.table import StringDictionary
+
+        if name == "monthname":
+            names = ["January", "February", "March", "April", "May", "June",
+                     "July", "August", "September", "October", "November",
+                     "December"]
+            code = b.BBinary(tt.BIGINT, "-",
+                             b.BFunc(tt.BIGINT, "extract_month", [arg]),
+                             b.BLiteral(tt.BIGINT, 1))
+        else:
+            names = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+                     "Friday", "Saturday"]
+            code = b.BFunc(tt.BIGINT, "extract_dow", [arg])
+        d = StringDictionary()
+        for s in names:
+            d.encode_one(s)
+        return b.BCodeDict(tt.VARCHAR, code, d)
+
+    def _bind_int_string_func(self, name: str, args: List[b.BExpr]) -> b.BExpr:
+        """Integer-valued string functions via per-code LUT (BDictIntMap)."""
+        import numpy as np
+
+        base = args[0]
+        if name in ("strpos", "instr", "position"):
+            sub = args[1]
+            if not isinstance(sub, b.BLiteral):
+                raise BindError(f"{name}: needle must be a literal")
+            needle = str(sub.value)
+            f = lambda s: s.find(needle) + 1  # noqa: E731  (1-based, 0 = absent)
+        elif name == "ascii":
+            f = lambda s: ord(s[0]) if s else 0  # noqa: E731
+        else:  # length/len
+            f = len
+        d = self._expr_dict(base)
+        if d is None:
+            if isinstance(base, b.BLiteral):
+                return b.BLiteral(tt.BIGINT, int(f(str(base.value))))
+            raise BindError(f"{name}: argument must be VARCHAR")
+        strs = d.strings_array()
+        lut = np.fromiter((f(str(s)) for s in strs), dtype=np.int64,
+                          count=len(strs)) if len(strs) else \
+            np.zeros(1, np.int64)
+        return b.BDictIntMap(tt.BIGINT, base, lut)
+
+    def _bind_string_predicate_func(self, name: str,
+                                    args: List[b.BExpr]) -> b.BExpr:
+        """contains/starts_with/ends_with/regexp_matches -> the LIKE/regex
+        dictionary-LUT machinery (BDictPredicate)."""
+        base, pat = args[0], args[1]
+        d = self._expr_dict(base)
+        if d is None:
+            raise BindError(f"{name}: first argument must be VARCHAR")
+        if not isinstance(pat, b.BLiteral):
+            raise BindError(f"{name}: pattern must be a literal")
+        if pat.param is not None:
+            # bake the pattern into the plan (structural literal slot)
+            self.structural.add(pat.param)
+        if name == "regexp_matches":
+            return b.BDictPredicate(tt.BOOLEAN, base, "regex", pat,
+                                    dictionary=d)
+        # LIKE has no escape syntax here, so build an anchored regex
+        # instead (kind='regex' uses re.search)
+        import re as _re
+
+        esc = _re.escape(str(pat.value))
+        if name in ("starts_with", "prefix"):
+            rx = "^" + esc
+        elif name in ("ends_with", "suffix"):
+            rx = esc + "$"
+        else:  # contains
+            rx = esc
+        lit = b.BLiteral(tt.VARCHAR, rx)
+        return b.BDictPredicate(tt.BOOLEAN, base, "regex", lit,
+                                dictionary=d)
 
     def _bind_string_func(self, name: str, args: List[b.BExpr]) -> b.BExpr:
         """String scalar functions evaluate over the DICTIONARY at bind time
@@ -1043,6 +1185,34 @@ class Binder:
                 ln = int(_lit_num(params[1], self, name)) if len(params) > 1 else None
                 i0 = max(0, start - 1)
                 return s[i0:] if ln is None else s[i0:i0 + ln]
+            if name == "replace":
+                return s.replace(str_of(params[0]), str_of(params[1]))
+            if name == "left":
+                n = int(_lit_num(params[0], self, name))
+                return s[:n] if n >= 0 else s[:max(0, len(s) + n)]
+            if name == "right":
+                n = int(_lit_num(params[0], self, name))
+                if n >= 0:
+                    return s[max(0, len(s) - n):] if n else ""
+                return s[-n:]
+            if name in ("lpad", "rpad"):
+                n = int(_lit_num(params[0], self, name))
+                fill = str_of(params[1]) if len(params) > 1 else " "
+                if len(s) >= n:
+                    return s[:n]
+                pad = (fill * n)[: n - len(s)] if fill else ""
+                return pad + s if name == "lpad" else s + pad
+            if name == "reverse":
+                return s[::-1]
+            if name == "repeat":
+                return s * max(0, int(_lit_num(params[0], self, name)))
+            if name == "split_part":
+                sep = str_of(params[0])
+                idx = int(_lit_num(params[1], self, name))
+                parts_ = s.split(sep) if sep else [s]
+                return parts_[idx - 1] if 1 <= idx <= len(parts_) else ""
+            if name == "initcap":
+                return s.title()
             raise BindError(f"unsupported string function {name}")
 
         if name == "concat":
@@ -1156,7 +1326,7 @@ class Binder:
         return "expr"
 
     def _expr_dict(self, e: b.BExpr):
-        if isinstance(e, (b.BColumn, b.BDictMap, b.BOuterCol)):
+        if isinstance(e, (b.BColumn, b.BDictMap, b.BOuterCol, b.BCodeDict)):
             return e.dictionary
         if isinstance(e, b.BCase):
             if e.dictionary is not None:
@@ -1233,4 +1403,13 @@ def _bexpr_eq(a: b.BExpr, x: b.BExpr, slots: list | None = None) -> bool:
         return _bexpr_eq(a.operand, x.operand, slots) and \
             np.array_equal(a.lut, x.lut) and \
             list(a.dictionary.strings_array()) == list(x.dictionary.strings_array())
+    if isinstance(a, b.BDictIntMap):
+        import numpy as np
+
+        return _bexpr_eq(a.operand, x.operand, slots) and \
+            np.array_equal(a.lut, x.lut)
+    if isinstance(a, b.BCodeDict):
+        return _bexpr_eq(a.operand, x.operand, slots) and \
+            list(a.dictionary.strings_array()) == \
+            list(x.dictionary.strings_array())
     return False

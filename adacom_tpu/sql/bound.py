@@ -117,6 +117,26 @@ class BDictMap(BExpr):
 
 
 @D
+class BDictIntMap(BExpr):
+    """Integer-valued string function over a dictionary-encoded column
+    (length, strpos, ascii, ...): evaluated over the dictionary at bind
+    time into a per-code int LUT; runtime is one gather (reference:
+    string function family src/function/scalar/string/* — here strings
+    never leave the dictionary)."""
+    operand: BExpr  # uint32 dict codes
+    lut: Any = None  # np.int64 array: code -> value
+
+
+@D
+class BCodeDict(BExpr):
+    """String-producing function of a NON-string operand (monthname,
+    dayname): the operand expression itself yields dictionary codes and
+    `dictionary` supplies the (static) strings."""
+    operand: BExpr  # integer codes into `dictionary`
+    dictionary: Any = None
+
+
+@D
 class BSubquery(BExpr):
     """Subquery expression.
 

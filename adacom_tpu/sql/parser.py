@@ -846,6 +846,21 @@ class _Parser:
         if t.kind == OP and t.value == "*":
             self.next()
             return ast.Star()
+        if t.kind == KW and t.value in ("LEFT", "RIGHT", "REPLACE", "IF") \
+                and self.peek(1).kind == OP and self.peek(1).value == "(":
+            # LEFT/RIGHT/REPLACE/IF are statement keywords but also scalar
+            # functions when directly followed by an argument list
+            self.next()
+            name = t.value.lower()
+            self.next()  # '('
+            args = []
+            if not self.at(OP, ")"):
+                while True:
+                    args.append(self.expr())
+                    if not self.accept_op(","):
+                        break
+            self.expect_op(")")
+            return ast.FuncCall(name, args)
         if t.kind in (IDENT, KW):
             name = self.ident()
             # function call
