@@ -567,11 +567,28 @@ class Connection:
 
         opts = stmt.options or {}
         delim = str(opts.get("delimiter", opts.get("delim", ",")))
+        fmt = str(opts.get("format", "")).lower()
+        if not fmt:
+            low = stmt.path.lower()
+            if low.endswith(".parquet"):
+                fmt = "parquet"
+            elif low.endswith(".json") or low.endswith(".ndjson"):
+                fmt = "json"
         if stmt.direction == "from":
             table = self.db.catalog.get_table(stmt.table)
             header = opts.get("header")
-            names, types, cols, valids = csv_io.read_csv(
-                stmt.path, header=header, delim=delim)
+            if fmt == "parquet":
+                from adacom_tpu.io import parquet_io
+
+                names, types, cols, valids = parquet_io.read_parquet(
+                    stmt.path)
+            elif fmt == "json":
+                from adacom_tpu.io import json_io
+
+                names, types, cols, valids = json_io.read_json(stmt.path)
+            else:
+                names, types, cols, valids = csv_io.read_csv(
+                    stmt.path, header=header, delim=delim)
             if len(cols) != len(table.column_order):
                 raise SQLError(
                     f"COPY: file has {len(cols)} columns, table "
@@ -595,6 +612,24 @@ class Connection:
         mat = self.executor.execute(plan, lits)
         res = QueryResult(mat.names, mat.types, mat.cols, mat.valids,
                           mat.dicts)
+        if fmt == "parquet":
+            from adacom_tpu.io import parquet_io
+
+            cols_out, types_out = [], []
+            for t, c, d in zip(res.types, res._cols, res._dicts):
+                arr = np.asarray(c)
+                if d is not None:
+                    strs = d.strings_array()
+                    arr = [str(strs[int(i)]) if 0 <= int(i) < len(strs)
+                           else "" for i in arr]
+                elif getattr(t, "name", "") == "DECIMAL":
+                    arr = arr.astype(np.float64) / (10.0 ** t.scale)
+                    t = tt.DOUBLE
+                cols_out.append(arr)
+                types_out.append(t)
+            n = parquet_io.write_parquet(stmt.path, res.names, types_out,
+                                         cols_out, res._valids)
+            return self._scalar_result("count", tt.BIGINT, n)
         rendered = [res._render_col(t, c, v, d) for t, c, v, d in
                     zip(res.types, res._cols, res._valids, res._dicts)]
         n = csv_io.write_csv(stmt.path, res.names, rendered,

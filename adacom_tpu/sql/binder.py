@@ -739,6 +739,24 @@ class Binder:
             if not names:
                 raise BindError(f"empty CSV: {args[0]}")
             return self._anon_table_plan(alias, names, types, cols, valids)
+        if name in ("read_parquet", "parquet_scan"):
+            from adacom_tpu.io import parquet_io
+
+            if not args:
+                raise BindError("read_parquet(path)")
+            names, types, cols, valids = parquet_io.read_parquet(str(args[0]))
+            if not names:
+                raise BindError(f"empty parquet file: {args[0]}")
+            return self._anon_table_plan(alias, names, types, cols, valids)
+        if name in ("read_json", "read_json_auto", "read_ndjson"):
+            from adacom_tpu.io import json_io
+
+            if not args:
+                raise BindError("read_json(path)")
+            names, types, cols, valids = json_io.read_json(str(args[0]))
+            if not names:
+                raise BindError(f"empty JSON file: {args[0]}")
+            return self._anon_table_plan(alias, names, types, cols, valids)
         raise BindError(f"unknown table function {ref.name!r}")
 
     def _anon_table_plan(self, alias, names, types, cols, valids):
