@@ -59,8 +59,13 @@ class DBConfig:
     # (ops/device_join.py: device argsort + binary-search probe) instead
     # of the host operators; 0 disables. Only active on a TPU backend —
     # the fixed dispatch+transfer cost needs large inputs to amortize.
-    device_join_rows: int = 2_000_000
-    device_sort_rows: int = 2_000_000
+    # Measured on the tunneled v5e (≈25 ms fixed latency per synchronized
+    # dispatch + slow host<->device link): a 4.7M-row join ran 7x FASTER
+    # on the host (TPC-H SF1 Q3, 1.0 s vs 7.2 s), so the default keeps
+    # joins host-side until far larger sizes; lower it on direct-attached
+    # hardware where the link is PCIe/ICI-speed.
+    device_join_rows: int = 50_000_000
+    device_sort_rows: int = 50_000_000
     # With a mesh attached (Database(mesh=...)): equi-joins at or above
     # this row count shuffle over the mesh (all_to_all); smaller joins
     # stay on the host. 0 disables.
@@ -134,8 +139,9 @@ class DBConfig:
             if v not in ("succinct", "auto", "uncompressed") and v not in _codecs.REGISTRY:
                 raise ValueError(f"unknown compression codec: {v}")
             self.compression_codec = v
-        elif key == "host_scan_segment_limit":
-            self.host_scan_segment_limit = int(value)
+        elif key in ("host_scan_segment_limit", "device_join_rows",
+                     "device_sort_rows", "distributed_join_rows"):
+            setattr(self, key, int(value))
         elif key == "segment_rows":
             n = int(value)
             if n <= 0 or n % 1024:
