@@ -1296,10 +1296,12 @@ class Executor:
             rvalids = [None if v is None else spill.gather(v, ri)
                        for v in right.valids]
         else:
-            lcols = [c[li] for c in left.cols]
-            lvalids = [None if v is None else v[li] for v in left.valids]
-            rcols = [c[ri] for c in right.cols]
-            rvalids = [None if v is None else v[ri] for v in right.valids]
+            lcols = [_gather_rows(c, li) for c in left.cols]
+            lvalids = [None if v is None else _gather_rows(v, li)
+                       for v in left.valids]
+            rcols = [_gather_rows(c, ri) for c in right.cols]
+            rvalids = [None if v is None else _gather_rows(v, ri)
+                       for v in right.valids]
 
         if jt in ("left", "full") and len(un):
             lcols = [np.concatenate([c, full_c[un]]) for c, full_c in zip(lcols, left.cols)]
@@ -2169,6 +2171,19 @@ def _unique_row_indices(cols: List[np.ndarray]) -> np.ndarray:
     return first
 
 
+def _gather_rows(c: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Join-output column gather: threaded native kernel for large index
+    sets, numpy fancy indexing otherwise."""
+    c = np.asarray(c)
+    if len(idx) >= 1 << 20 and c.ndim == 1 and c.dtype.itemsize in (1, 4, 8):
+        from adacom_tpu import native as _native
+
+        out = _native.gather_rows(c, idx)
+        if out is not None:
+            return out
+    return c[idx]
+
+
 def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray],
                      config=None, db=None):
     """All matching (left_idx, right_idx) pairs for equi-keys (vectorized
@@ -2205,6 +2220,14 @@ def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray],
             li, ri = device_join.join_pairs(lk.view(np.int64),
                                             rk.view(np.int64))
             return _verify_join_pairs(lkeys, rkeys, li, ri)
+    # native chained-bucket hash table with threaded probes (reference
+    # JoinHashTable::Build/Probe); falls back to the vectorized numpy
+    # sort-probe join without the .so
+    from adacom_tpu import native as _native
+
+    pair = _native.hash_join_i64(rk.view(np.int64), lk.view(np.int64))
+    if pair is not None:
+        return _verify_join_pairs(lkeys, rkeys, *pair)
     order = np.argsort(rk, kind="stable")
     rk_sorted = rk[order]
     lo = np.searchsorted(rk_sorted, lk, side="left")

@@ -22,10 +22,12 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "libadacom_native.so")
 _i64 = ctypes.c_int64
 _u64 = ctypes.c_uint64
 _u32 = ctypes.c_uint32
+_i32 = ctypes.c_int32
 _int = ctypes.c_int
 _dbl = ctypes.c_double
 _p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _p_u64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
 _p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
@@ -66,6 +68,22 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.adacom_group_sum_i64.argtypes = [_p_i64, _p_i64, _i64, _p_i64]
     lib.adacom_group_sum_f64.argtypes = [_p_i64, _p_f64, _i64, _p_f64]
     lib.adacom_argsort_u64.argtypes = [_p_u64, _i64, _p_i64]
+    lib.adacom_join_build_i64.argtypes = [_p_i64, _i64]
+    lib.adacom_join_build_i64.restype = ctypes.c_void_p
+    lib.adacom_join_count_i64.argtypes = [ctypes.c_void_p, _p_i64, _i64,
+                                          _p_i64]
+    lib.adacom_join_emit_i64.argtypes = [ctypes.c_void_p, _p_i64, _i64,
+                                         _p_i64, _p_i64, _p_i64]
+    lib.adacom_join_free.argtypes = [ctypes.c_void_p]
+    lib.adacom_filter_range_i64.argtypes = [_p_i64, _i64, _i64, _i64, _p_i64]
+    lib.adacom_filter_range_i64.restype = _i64
+    lib.adacom_filter_range_i32.argtypes = [_p_i32, _i64, _i32, _i32, _p_i64]
+    lib.adacom_filter_range_i32.restype = _i64
+    lib.adacom_groupby_i64_mt.argtypes = [_p_i64, _i64, _p_i64, _p_i64]
+    lib.adacom_groupby_i64_mt.restype = _i64
+    for nm in ("adacom_gather8", "adacom_gather4", "adacom_gather1"):
+        fn = getattr(lib, nm)
+        fn.argtypes = [ctypes.c_void_p, _p_i64, _i64, ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -178,7 +196,7 @@ def groupby_i64(keys: np.ndarray):
     n = len(keys)
     gid = np.empty(n, dtype=np.int64)
     first = np.empty(n, dtype=np.int64)
-    n_groups = lib.adacom_groupby_i64(keys, n, gid, first)
+    n_groups = lib.adacom_groupby_i64_mt(keys, n, gid, first)
     return gid, first[:n_groups]
 
 
@@ -228,4 +246,73 @@ def zipf_sample(n: int, q: float, seed: int, size: int) -> np.ndarray:
         return ZipfSampler(n, q, seed).sample(size)
     out = np.empty(size, dtype=np.int64)
     lib.adacom_zipf_sample(np.uint64(n), float(q), np.uint64(seed), size, out)
+    return out
+
+
+def hash_join_i64(build_keys: np.ndarray, probe_keys: np.ndarray):
+    """All matching (probe_idx, build_idx) pairs for i64 equi-keys via a
+    chained-bucket hash table with threaded probes (reference
+    JoinHashTable Build/Probe, join_hashtable.cpp:197,415). Returns None
+    when the native library is unavailable — callers fall back to the
+    sort-probe join."""
+    lib = _load()
+    if lib is None:
+        return None
+    build = np.ascontiguousarray(build_keys, dtype=np.int64)
+    probe = np.ascontiguousarray(probe_keys, dtype=np.int64)
+    ht = lib.adacom_join_build_i64(build, len(build))
+    try:
+        counts = np.empty(len(probe), dtype=np.int64)
+        lib.adacom_join_count_i64(ht, probe, len(probe), counts)
+        total = int(counts.sum())
+        offsets = np.zeros(len(probe), dtype=np.int64)
+        if len(probe):
+            np.cumsum(counts[:-1], out=offsets[1:])
+        li = np.empty(total, dtype=np.int64)
+        ri = np.empty(total, dtype=np.int64)
+        lib.adacom_join_emit_i64(ht, probe, len(probe), offsets, li, ri)
+        return li, ri
+    finally:
+        lib.adacom_join_free(ht)
+
+
+def filter_range_i64(vals: np.ndarray, lo: int, hi: int) -> Optional[np.ndarray]:
+    """Indices of lo <= v <= hi (inclusive); None -> caller uses numpy."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    out = _scratch_i64(len(vals))
+    m = lib.adacom_filter_range_i64(vals, len(vals), int(lo), int(hi), out)
+    return out[:m].copy()
+
+
+def filter_range_i32(vals: np.ndarray, lo: int, hi: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.int32)
+    out = _scratch_i64(len(vals))
+    m = lib.adacom_filter_range_i32(vals, len(vals), int(lo), int(hi), out)
+    return out[:m].copy()
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray) -> Optional[np.ndarray]:
+    """Threaded out[j] = src[idx[j]] for 1/4/8-byte element dtypes; None ->
+    caller uses numpy fancy indexing."""
+    lib = _load()
+    if lib is None:
+        return None
+    if src.ndim != 1:
+        return None
+    item = src.dtype.itemsize
+    if item not in (1, 4, 8):
+        return None
+    src = np.ascontiguousarray(src)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    out = np.empty(len(idx), dtype=src.dtype)
+    fn = {8: lib.adacom_gather8, 4: lib.adacom_gather4,
+          1: lib.adacom_gather1}[item]
+    fn(src.ctypes.data_as(ctypes.c_void_p), idx, len(idx),
+       out.ctypes.data_as(ctypes.c_void_p))
     return out

@@ -28,6 +28,7 @@ def optimize(plan: b.LogicalOp, structural: Optional[set] = None) -> b.LogicalOp
     if structural is None:
         structural = set()
     plan = push_filters(plan)
+    plan = reorder_joins(plan)
     plan = order_joins(plan)
     plan = fuse_topn(plan, structural)
     plan = prune_columns(plan)
@@ -245,6 +246,197 @@ def est_rows(op: b.LogicalOp) -> float:
         est = est_rows(child) if child is not None else 1.0
     op._est_rows = est
     return est
+
+
+def _shift_cols(e: b.BExpr, delta: int) -> b.BExpr:
+    if delta == 0:
+        return e
+    return _transform_expr(
+        e, lambda x: b.BColumn(x.ty, x.index + delta, x.name, x.dictionary)
+        if isinstance(x, b.BColumn) else None)
+
+
+def _map_cols(e: b.BExpr, m: Dict[int, int]) -> b.BExpr:
+    return _transform_expr(
+        e, lambda x: b.BColumn(x.ty, m[x.index], x.name, x.dictionary)
+        if isinstance(x, b.BColumn) else None)
+
+
+def reorder_joins(op: b.LogicalOp) -> b.LogicalOp:
+    """Greedy join-order optimization for chains of >= 3 inner joins
+    (reference join_order/join_order_optimizer.cpp — DP there, greedy
+    smallest-intermediate-first here).
+
+    Flattens a maximal inner-join subtree into relations + an equi-join
+    edge set, starts from the smallest estimated relation, repeatedly
+    joins the connected relation minimizing the estimated intermediate
+    size, then rebuilds a left-deep tree wrapped in a projection restoring
+    the original column order."""
+    for f in dataclasses.fields(op):
+        v = getattr(op, f.name)
+        if isinstance(v, b.LogicalOp):
+            setattr(op, f.name, reorder_joins(v))
+    if not isinstance(op, b.LogicalJoin) or op.join_type != "inner":
+        return op
+
+    leaves: List[tuple] = []  # (op, old_start)
+    conds: List[tuple] = []   # (le, re) with OLD-global column indices
+    resids: List[b.BExpr] = []
+
+    def collect(node, start):
+        if isinstance(node, b.LogicalJoin) and node.join_type == "inner":
+            lw = len(node.left.names)
+            collect(node.left, start)
+            collect(node.right, start + lw)
+            for le, re_ in (node.conditions or []):
+                conds.append((_shift_cols(le, start),
+                              _shift_cols(re_, start + lw)))
+            if node.residual is not None:
+                resids.append(_shift_cols(node.residual, start))
+            return
+        leaves.append((node, start))
+
+    collect(op, 0)
+    k = len(leaves)
+    if k < 3:
+        return op
+
+    widths = [len(leaf.names) for leaf, _ in leaves]
+    starts = [s for _, s in leaves]
+    leaf_of_col: Dict[int, int] = {}
+    for lid, (leaf, s) in enumerate(leaves):
+        for j in range(widths[lid]):
+            leaf_of_col[s + j] = lid
+
+    def rels_of(e) -> set:
+        return {leaf_of_col[c.index] for c in _cols(e)}
+
+    cond_rels = [rels_of(le) | rels_of(re_) for le, re_ in conds]
+    ests = [est_rows(leaf) for leaf, _ in leaves]
+    # unfiltered base row counts stand in for per-key distinct counts in
+    # the System-R estimate below (V(key) ~ |base table| for key columns)
+    bases = []
+    for lid, (leaf, _) in enumerate(leaves):
+        if isinstance(leaf, b.LogicalGet):
+            try:
+                bases.append(max(1.0, float(leaf.table.row_count())))
+            except Exception:
+                bases.append(max(1.0, ests[lid]))
+        else:
+            bases.append(max(1.0, ests[lid]))
+
+    def step_est(cur_est, placed, cand):
+        """System-R style: |A join B| = |A|*|B| / prod over connecting
+        edges of max(base of the edge's two sides)."""
+        divisor = 1.0
+        connected = False
+        for r in cond_rels:
+            if cand in r and len(r) > 1 and r <= placed | {cand}:
+                connected = True
+                others = r - {cand}
+                divisor *= max(bases[cand],
+                               max(bases[o] for o in others))
+        if not connected:
+            return cur_est * ests[cand]
+        return max(1.0, cur_est * ests[cand] / divisor)
+
+    def order_cost(order_):
+        """Sum of estimated intermediate sizes along a left-deep order."""
+        cur = ests[order_[0]]
+        placed_ = {order_[0]}
+        total = 0.0
+        for cand in order_[1:]:
+            cur = step_est(cur, placed_, cand)
+            placed_.add(cand)
+            total += cur
+        return total
+
+    first = min(range(k), key=lambda i: (ests[i], bases[i]))
+    order = [first]
+    placed = {first}
+    cur_est = ests[first]
+    while len(order) < k:
+        best, best_cost = None, None
+        for cand in range(k):
+            if cand in placed:
+                continue
+            cost = step_est(cur_est, placed, cand)
+            if best_cost is None or (cost, ests[cand]) < best_cost:
+                best, best_cost = cand, (cost, ests[cand])
+        order.append(best)
+        placed.add(best)
+        cur_est = best_cost[0]
+    # adopt only on a clear estimated win over the original (tree) order —
+    # the estimates are crude, so ties keep the query's own join order
+    if order == list(range(k)) or \
+            order_cost(order) >= 0.5 * order_cost(list(range(k))):
+        return op
+
+    # old-global -> new-global column mapping
+    new_start: Dict[int, int] = {}
+    off = 0
+    for lid in order:
+        new_start[lid] = off
+        off += widths[lid]
+    m: Dict[int, int] = {}
+    for lid in range(k):
+        for j in range(widths[lid]):
+            m[starts[lid] + j] = new_start[lid] + j
+
+    def leaf_dicts(lid):
+        leaf = leaves[lid][0]
+        d = getattr(leaf, "dicts", None)
+        return list(d) if d is not None else [None] * widths[lid]
+
+    used = [False] * len(conds)
+    resid_used = [False] * len(resids)
+    cur = leaves[order[0]][0]
+    cur_dicts = leaf_dicts(order[0])
+    built = {order[0]}
+    for lid in order[1:]:
+        leaf = leaves[lid][0]
+        here_conds, here_resid = [], []
+        for ci, (le, re_) in enumerate(conds):
+            if used[ci] or not (cond_rels[ci] <= built | {lid}):
+                continue
+            used[ci] = True
+            le_r, re_r = rels_of(le), rels_of(re_)
+            if le_r <= built and re_r <= {lid}:
+                here_conds.append((_map_cols(le, m),
+                                   _shift_cols(re_, -starts[lid])))
+            elif re_r <= built and le_r <= {lid}:
+                here_conds.append((_map_cols(re_, m),
+                                   _shift_cols(le, -starts[lid])))
+            else:
+                # sides span both inputs (cycle edge): combined-schema
+                # residual equality
+                cm = dict(m)
+                here_resid.append(b.BBinary(
+                    tt.BOOLEAN, "=", _map_cols(le, cm), _map_cols(re_, cm)))
+        for ri, r in enumerate(resids):
+            if not resid_used[ri] and rels_of(r) <= built | {lid}:
+                resid_used[ri] = True
+                here_resid.append(_map_cols(r, m))
+        nj = b.LogicalJoin(
+            names=list(cur.names) + list(leaf.names),
+            types=list(cur.types) + list(leaf.types),
+            left=cur, right=leaf, join_type="inner",
+            conditions=here_conds,
+            residual=_conjoin(here_resid) if here_resid else None,
+        )
+        nj.dicts = cur_dicts + leaf_dicts(lid)
+        cur = nj
+        cur_dicts = nj.dicts
+        built.add(lid)
+
+    # restore the original column order for the parent
+    op_dicts = getattr(op, "dicts", None) or [None] * len(op.names)
+    exprs = [b.BColumn(op.types[i], m[i], op.names[i], op_dicts[i])
+             for i in range(len(op.names))]
+    proj = b.LogicalProject(names=list(op.names), types=list(op.types),
+                            child=cur, exprs=exprs)
+    proj.dicts = list(op_dicts)
+    return proj
 
 
 def order_joins(op: b.LogicalOp) -> b.LogicalOp:

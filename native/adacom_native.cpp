@@ -20,6 +20,8 @@
 #include <cmath>
 #include <algorithm>
 #include <random>
+#include <atomic>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -311,6 +313,307 @@ void adacom_argsort_u64(const uint64_t* keys, int64_t n, int64_t* idx_out) {
     }
     if (src != idx_out)
         std::copy(src, src + n, idx_out);
+}
+
+// ----------------------------------------------------------------------
+// hash join: chained-bucket table, threaded probe
+// (reference JoinHashTable::Build / InsertHashes / Probe,
+//  src/execution/join_hashtable.cpp:197,308,415 — bitmask bucketing into
+//  per-bucket row chains, then vectorized chain-walking probes)
+// ----------------------------------------------------------------------
+
+namespace {
+
+struct JoinHT {
+    const int64_t* keys;   // build keys (borrowed)
+    int64_t n;
+    uint64_t mask;         // bucket mask (capacity - 1)
+    std::vector<int64_t> head;  // bucket -> first row (-1 empty)
+    std::vector<int64_t> next;  // row -> next row in chain (-1 end)
+};
+
+inline int n_threads_for(int64_t work) {
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw == 0) hw = 4;
+    int t = (int)std::min<int64_t>(hw, std::max<int64_t>(1, work / 262144));
+    return t < 1 ? 1 : t;
+}
+
+}  // namespace
+
+void* adacom_join_build_i64(const int64_t* keys, int64_t n) {
+    JoinHT* ht = new JoinHT();
+    ht->keys = keys;
+    ht->n = n;
+    uint64_t cap = 16;
+    while ((int64_t)cap < 2 * n) cap <<= 1;
+    ht->mask = cap - 1;
+    ht->head.assign(cap, -1);
+    ht->next.assign((size_t)std::max<int64_t>(n, 1), -1);
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t b = splitmix64((uint64_t)keys[i]) & ht->mask;
+        ht->next[i] = ht->head[b];
+        ht->head[b] = i;
+    }
+    return ht;
+}
+
+void adacom_join_free(void* p) { delete (JoinHT*)p; }
+
+// Per-probe-row match counts (threaded); counts_out has n entries.
+void adacom_join_count_i64(void* p, const int64_t* probe, int64_t n,
+                           int64_t* counts_out) {
+    JoinHT* ht = (JoinHT*)p;
+    int nt = n_threads_for(n);
+    auto work = [&](int64_t a, int64_t z) {
+        for (int64_t i = a; i < z; ++i) {
+            const int64_t k = probe[i];
+            uint64_t b = splitmix64((uint64_t)k) & ht->mask;
+            int64_t c = 0;
+            for (int64_t j = ht->head[b]; j >= 0; j = ht->next[j])
+                if (ht->keys[j] == k) ++c;
+            counts_out[i] = c;
+        }
+    };
+    if (nt == 1) { work(0, n); return; }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; ++t)
+        ts.emplace_back(work, n * t / nt, n * (t + 1) / nt);
+    for (auto& t : ts) t.join();
+}
+
+// Emit all (probe_idx, build_idx) pairs; offsets = exclusive prefix sums of
+// the counts (caller-computed), li/ri sized to the total.
+void adacom_join_emit_i64(void* p, const int64_t* probe, int64_t n,
+                          const int64_t* offsets, int64_t* li, int64_t* ri) {
+    JoinHT* ht = (JoinHT*)p;
+    int nt = n_threads_for(n);
+    auto work = [&](int64_t a, int64_t z) {
+        for (int64_t i = a; i < z; ++i) {
+            const int64_t k = probe[i];
+            uint64_t b = splitmix64((uint64_t)k) & ht->mask;
+            int64_t o = offsets[i];
+            for (int64_t j = ht->head[b]; j >= 0; j = ht->next[j])
+                if (ht->keys[j] == k) { li[o] = i; ri[o] = j; ++o; }
+        }
+    };
+    if (nt == 1) { work(0, n); return; }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; ++t)
+        ts.emplace_back(work, n * t / nt, n * (t + 1) / nt);
+    for (auto& t : ts) t.join();
+}
+
+// ----------------------------------------------------------------------
+// threaded range filter + multi-column gather (host scan tier hot path)
+// ----------------------------------------------------------------------
+
+// ----------------------------------------------------------------------
+// threaded group-by: radix partition by hash byte, per-bucket tables,
+// then remap group ids to global first-seen order
+// (reference RadixPartitionedHashTable, radix_partitioned_hashtable.cpp —
+//  partition the input by hash bits, build independent tables per
+//  partition in parallel, merge)
+// ----------------------------------------------------------------------
+
+int64_t adacom_groupby_i64_mt(const int64_t* keys, int64_t n,
+                              int64_t* gid_out, int64_t* first_row_out) {
+    if (n == 0) return 0;
+    const int T = n_threads_for(n);
+    if (T <= 1 || n < 1 << 18) {
+        return adacom_groupby_i64(keys, n, gid_out, first_row_out);
+    }
+    constexpr int B = 256;
+    // pass A: per-thread bucket histograms (bucket = high hash byte)
+    std::vector<std::vector<int64_t>> hist(T, std::vector<int64_t>(B, 0));
+    auto bucket_of = [&](int64_t k) {
+        return (int)(splitmix64((uint64_t)k) >> 56);
+    };
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; ++t)
+            ts.emplace_back([&, t] {
+                auto& h = hist[t];
+                for (int64_t i = n * t / T; i < n * (t + 1) / T; ++i)
+                    ++h[bucket_of(keys[i])];
+            });
+        for (auto& th : ts) th.join();
+    }
+    // bucket-major, thread-minor exclusive prefix: keeps rows within a
+    // bucket in global row order (thread slices are contiguous row ranges)
+    std::vector<int64_t> bucket_start(B + 1, 0);
+    {
+        int64_t sum = 0;
+        for (int b = 0; b < B; ++b) {
+            bucket_start[b] = sum;
+            for (int t = 0; t < T; ++t) {
+                int64_t c = hist[t][b];
+                hist[t][b] = sum;  // becomes this thread's write cursor
+                sum += c;
+            }
+        }
+        bucket_start[B] = sum;
+    }
+    // pass B: scatter row indices into partitioned order
+    std::vector<int64_t> part(n);
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; ++t)
+            ts.emplace_back([&, t] {
+                auto& cur = hist[t];
+                for (int64_t i = n * t / T; i < n * (t + 1) / T; ++i)
+                    part[cur[bucket_of(keys[i])]++] = i;
+            });
+        for (auto& th : ts) th.join();
+    }
+    // pass C: per-bucket open-addressing tables (buckets split over
+    // threads); local gid = bucket-local; firsts in bucket row order
+    std::vector<int64_t> bucket_groups(B, 0);
+    std::vector<std::vector<int64_t>> bucket_firsts(B);
+    {
+        std::atomic<int> next_b{0};
+        auto work = [&] {
+            std::vector<int64_t> slot_gid, slot_key;
+            while (true) {
+                int b = next_b.fetch_add(1);
+                if (b >= B) break;
+                const int64_t a = bucket_start[b], z = bucket_start[b + 1];
+                const int64_t bn = z - a;
+                if (bn == 0) continue;
+                uint64_t cap = 16;
+                while (cap < (uint64_t)bn * 2) cap <<= 1;
+                const uint64_t mask = cap - 1;
+                slot_gid.assign(cap, -1);
+                slot_key.assign(cap, 0);
+                auto& firsts = bucket_firsts[b];
+                int64_t ng = 0;
+                for (int64_t j = a; j < z; ++j) {
+                    const int64_t row = part[j];
+                    const int64_t k = keys[row];
+                    uint64_t pos = splitmix64((uint64_t)k) & mask;
+                    while (true) {
+                        int64_t g = slot_gid[pos];
+                        if (g < 0) {
+                            slot_gid[pos] = ng;
+                            slot_key[pos] = k;
+                            firsts.push_back(row);
+                            gid_out[row] = ng;
+                            ++ng;
+                            break;
+                        }
+                        if (slot_key[pos] == k) {
+                            gid_out[row] = g;
+                            break;
+                        }
+                        pos = (pos + 1) & mask;
+                    }
+                }
+                bucket_groups[b] = ng;
+            }
+        };
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; ++t) ts.emplace_back(work);
+        for (auto& th : ts) th.join();
+    }
+    // global first-seen order: sort (first_row) across buckets, build the
+    // old (bucket, local gid) -> new gid remap
+    std::vector<int64_t> bucket_base(B + 1, 0);
+    for (int b = 0; b < B; ++b)
+        bucket_base[b + 1] = bucket_base[b] + bucket_groups[b];
+    const int64_t n_groups = bucket_base[B];
+    std::vector<int64_t> all_first(n_groups);
+    for (int b = 0; b < B; ++b)
+        std::copy(bucket_firsts[b].begin(), bucket_firsts[b].end(),
+                  all_first.begin() + bucket_base[b]);
+    std::vector<int64_t> order(n_groups);
+    for (int64_t g = 0; g < n_groups; ++g) order[g] = g;
+    std::sort(order.begin(), order.end(), [&](int64_t x, int64_t y) {
+        return all_first[x] < all_first[y];
+    });
+    std::vector<int64_t> remap(n_groups);
+    for (int64_t r = 0; r < n_groups; ++r) {
+        remap[order[r]] = r;
+        first_row_out[r] = all_first[order[r]];
+    }
+    // final pass: bucket-local gids -> global first-seen gids (threaded)
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; ++t)
+            ts.emplace_back([&, t] {
+                for (int64_t i = n * t / T; i < n * (t + 1) / T; ++i) {
+                    const int b = bucket_of(keys[i]);
+                    gid_out[i] = remap[bucket_base[b] + gid_out[i]];
+                }
+            });
+        for (auto& th : ts) th.join();
+    }
+    return n_groups;
+}
+
+// ----------------------------------------------------------------------
+// threaded gathers (join output materialization: out[j] = src[idx[j]])
+// ----------------------------------------------------------------------
+
+void adacom_gather8(const void* src, const int64_t* idx, int64_t n,
+                    void* out) {
+    const uint64_t* s = (const uint64_t*)src;
+    uint64_t* o = (uint64_t*)out;
+    int nt = n_threads_for(n);
+    auto work = [&](int64_t a, int64_t z) {
+        for (int64_t j = a; j < z; ++j) o[j] = s[idx[j]];
+    };
+    if (nt == 1) { work(0, n); return; }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; ++t)
+        ts.emplace_back(work, n * t / nt, n * (t + 1) / nt);
+    for (auto& t : ts) t.join();
+}
+
+void adacom_gather4(const void* src, const int64_t* idx, int64_t n,
+                    void* out) {
+    const uint32_t* s = (const uint32_t*)src;
+    uint32_t* o = (uint32_t*)out;
+    int nt = n_threads_for(n);
+    auto work = [&](int64_t a, int64_t z) {
+        for (int64_t j = a; j < z; ++j) o[j] = s[idx[j]];
+    };
+    if (nt == 1) { work(0, n); return; }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; ++t)
+        ts.emplace_back(work, n * t / nt, n * (t + 1) / nt);
+    for (auto& t : ts) t.join();
+}
+
+void adacom_gather1(const void* src, const int64_t* idx, int64_t n,
+                    void* out) {
+    const uint8_t* s = (const uint8_t*)src;
+    uint8_t* o = (uint8_t*)out;
+    int nt = n_threads_for(n);
+    auto work = [&](int64_t a, int64_t z) {
+        for (int64_t j = a; j < z; ++j) o[j] = s[idx[j]];
+    };
+    if (nt == 1) { work(0, n); return; }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; ++t)
+        ts.emplace_back(work, n * t / nt, n * (t + 1) / nt);
+    for (auto& t : ts) t.join();
+}
+
+// rows_out must hold n entries; returns the match count. Inclusive [lo, hi].
+int64_t adacom_filter_range_i64(const int64_t* vals, int64_t n, int64_t lo,
+                                int64_t hi, int64_t* rows_out) {
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i)
+        if (vals[i] >= lo && vals[i] <= hi) rows_out[m++] = i;
+    return m;
+}
+
+int64_t adacom_filter_range_i32(const int32_t* vals, int64_t n, int32_t lo,
+                                int32_t hi, int64_t* rows_out) {
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i)
+        if (vals[i] >= lo && vals[i] <= hi) rows_out[m++] = i;
+    return m;
 }
 
 }  // extern "C"
