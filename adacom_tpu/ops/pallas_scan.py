@@ -99,16 +99,14 @@ def _build_table_scan(width: int, lane8: int, n_seg: int, seg_blk: int,
 
     def kernel(scal_ref, words_ref, out_ref):
         mask_c = _U32(mask_val)
-        c = pl.program_id(0)
         for s in range(seg_blk):
-            idx = c * np.int32(seg_blk) + np.int32(s)
-            count = scal_ref[idx, 0].astype(_I32)
-            l_orig = scal_ref[idx, 3].astype(_I32)
+            count = scal_ref[s, 0].astype(_I32)
+            l_orig = scal_ref[s, 3].astype(_I32)
             if pred:
-                lo = scal_ref[idx, 1]
+                lo = scal_ref[s, 1]
                 # unsigned-range trick: code in [lo, hi] iff
                 # (code - lo) <= (hi - lo) in uint32 arithmetic
-                span_c = scal_ref[idx, 2] - lo
+                span_c = scal_ref[s, 2] - lo
             wm = words_ref[s]  # (width, 8, lane8) VMEM
             # global lane index of each (sublane, minor) position after
             # the row-major (L,) -> (8, L/8) reshape: lane = a*lane8 + b
@@ -189,8 +187,10 @@ def _build_table_scan(width: int, lane8: int, n_seg: int, seg_blk: int,
         kernel,
         grid=(n_chunks,),
         in_specs=[
-            # whole (n_seg, 8) scalar table in SMEM, indexed by program id
-            pl.BlockSpec((n_seg, 8), lambda c: (z, z),
+            # per-step (seg_blk, 8) scalar slice in SMEM: the whole table
+            # at once overflows the 1 MB SMEM budget at bench scale
+            # (n_seg=2048 pads to 1.00 MB — the round-3 BENCH crash)
+            pl.BlockSpec((seg_blk, 8), lambda c: (c, z),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((seg_blk, width, 8, lane8),
                          lambda c: (c, z, z, z),

@@ -33,13 +33,19 @@ def main():
     nruns = int(os.environ.get("ADACOM_BENCH_RUNS", "5"))
     t_start = time.time()
 
+    def mark(phase):
+        print(f"[bench +{time.time() - t_start:7.1f}s] {phase}",
+              file=sys.stderr, flush=True)
+
     from adacom_tpu.bench.runner import run_benchmark
     from adacom_tpu.bench.succinct_benchmarks import SuccinctZipfDistribution
 
     # ---- headline: Zipf point lookups over the compacted table ----
+    mark("load start")
     b = SuccinctZipfDistribution(scale)
     state = {}
     b.load(state)
+    mark("load done")
     db = state["db"]
     cat = db.catalog.get_column_segment_catalog()
     succinct_bytes = cat.get_total_data_size()
@@ -57,6 +63,7 @@ def main():
         print(f"SuccinctZipfDistribution\t{run}\t{timing:.6f}\t"
               f"{succinct_bytes}\t{cat.get_total_data_size()}",
               file=sys.stderr, flush=True)
+    mark("lookup runs done")
     mean_s = sum(records) / len(records)
     baseline_s = 17.49  # benchmarks.csv:32-36 mean, 5 hot runs
 
@@ -71,6 +78,7 @@ def main():
     for _ in range(n_scan):
         con.query(scan_sql)
     scan_s = (time.perf_counter() - t0) / n_scan
+    mark("tpu scans done")
     # reference SuccinctScanOOM: 100 such scans over 150M rows in ~4.10 s
     # (benchmarks.csv:57-61) -> per-scan time scaled to our row count
     ref_scan_s = 4.10 / 100 * (n / 150e6)
@@ -82,6 +90,7 @@ def main():
         "vs_reference_scan": round(scan_s / ref_scan_s, 4),
     }
     b.cleanup(state)
+    mark("cleanup done")
 
     # ---- memory story: plain (non-succinct) footprint of the same data ----
     from adacom_tpu.bench.succinct_benchmarks import NonSuccinctZipfDistribution
@@ -92,6 +101,7 @@ def main():
     plain_bytes = state2["db"].catalog.get_column_segment_catalog() \
         .get_total_data_size()
     b2.cleanup(state2)
+    mark("non-succinct load done")
 
     out = {
         "metric": "SuccinctZipfDistribution (10k Zipf point lookups, "

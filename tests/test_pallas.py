@@ -1,5 +1,6 @@
 """Pallas fused scan kernel vs the XLA decode path (exactness golden)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -114,3 +115,29 @@ def test_engine_pallas_scan_agg():
     r = con.query("SELECT sum(i), count(*) FROM t").fetchone()
     assert (int(r[0]), int(r[1])) == (int(vals.astype(np.int64).sum()), len(vals))
     db.close()
+
+
+def test_driver_scale_kernel_builds():
+    """Compile the table-scan kernel at BENCH-scale shapes without data.
+
+    Rounds 2 and 3 both shipped kernels that passed small-shape tests and
+    died at the driver's 100M-row scale (r02: x64 lowering, r03: SMEM
+    overflow from the whole (2048, 8) scalar table in one block). This
+    builds the exact bench shape (n_seg=2048, width=16, lane8=256 — the
+    shape in BENCH_r03's crash dump) via .lower(); on the TPU lane it also
+    .compile()s, which is where Mosaic enforces the 1 MB SMEM budget.
+    """
+    from adacom_tpu.ops import pallas_scan
+
+    for width, lane8, n_seg in [(16, 256, 2048), (17, 128, 2048)]:
+        blk = pallas_scan._seg_blk_for(width, lane8, n_seg)
+        run = pallas_scan._build_runner(width, lane8, n_seg, blk,
+                                        True, True)
+        shapes = (
+            jax.ShapeDtypeStruct((n_seg, width, 8, lane8), jnp.uint32),
+            jax.ShapeDtypeStruct((n_seg, 8), jnp.uint32),
+            jax.ShapeDtypeStruct((n_seg,), jnp.int64),
+        )
+        lowered = run.lower(*shapes)
+        if jax.default_backend() == "tpu":
+            lowered.compile()  # Mosaic pass: catches SMEM/VMEM overflows
