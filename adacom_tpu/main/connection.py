@@ -119,7 +119,7 @@ class Connection:
             self.db.config.set_option(stmt.name, stmt.value)
             res = None
         elif isinstance(stmt, ast.ExplainStmt):
-            res = self._execute_explain(stmt)
+            res = self._execute_explain(stmt, lits)
         elif isinstance(stmt, ast.CopyStmt):
             res = self._execute_copy(stmt, lits)
         elif isinstance(stmt, ast.CheckpointStmt):
@@ -637,7 +637,7 @@ class Connection:
                              delim=delim)
         return self._scalar_result("count", tt.BIGINT, n)
 
-    def _execute_explain(self, stmt: ast.ExplainStmt):
+    def _execute_explain(self, stmt: ast.ExplainStmt, lits=()):
         if not isinstance(stmt.target, ast.SelectStmt):
             raise SQLError("EXPLAIN supports SELECT only")
         binder = Binder(self.db.catalog, self.db.config)
@@ -649,7 +649,7 @@ class Connection:
             self.executor.profile = {}
             try:
                 t0 = time.perf_counter()
-                self.executor.execute(plan, [])
+                self.executor.execute(plan, list(lits))
                 total = time.perf_counter() - t0
             finally:
                 profile = self.executor.profile

@@ -271,12 +271,18 @@ def reorder_joins(op: b.LogicalOp) -> b.LogicalOp:
     edge set, starts from the smallest estimated relation, repeatedly
     joins the connected relation minimizing the estimated intermediate
     size, then rebuilds a left-deep tree wrapped in a projection restoring
-    the original column order."""
-    for f in dataclasses.fields(op):
-        v = getattr(op, f.name)
-        if isinstance(v, b.LogicalOp):
-            setattr(op, f.name, reorder_joins(v))
-    if not isinstance(op, b.LogicalJoin) or op.join_type != "inner":
+    the original column order.
+
+    The maximal chain must be flattened TOP-DOWN: recursing into join
+    children first would reorder (and Project-wrap) inner subtrees,
+    leaving the top join a 2-3 leaf stub that can never see the whole
+    relation set (the round-3 Q9 cross-product plan)."""
+    if not isinstance(op, b.LogicalJoin) or \
+            op.join_type not in ("inner", "cross"):
+        for f in dataclasses.fields(op):
+            v = getattr(op, f.name)
+            if isinstance(v, b.LogicalOp):
+                setattr(op, f.name, reorder_joins(v))
         return op
 
     leaves: List[tuple] = []  # (op, old_start)
@@ -284,7 +290,11 @@ def reorder_joins(op: b.LogicalOp) -> b.LogicalOp:
     resids: List[b.BExpr] = []
 
     def collect(node, start):
-        if isinstance(node, b.LogicalJoin) and node.join_type == "inner":
+        # cross joins are inner joins without a lifted condition (comma
+        # FROM lists whose predicate stayed in a filter above); flattening
+        # them is what lets the orderer break up accidental cross products
+        if isinstance(node, b.LogicalJoin) and \
+                node.join_type in ("inner", "cross"):
             lw = len(node.left.names)
             collect(node.left, start)
             collect(node.right, start + lw)
@@ -297,8 +307,13 @@ def reorder_joins(op: b.LogicalOp) -> b.LogicalOp:
         leaves.append((node, start))
 
     collect(op, 0)
+    # chains nested below non-join operators inside each leaf subtree
+    # still get their own reordering
+    leaves = [(reorder_joins(leaf), s) for leaf, s in leaves]
     k = len(leaves)
     if k < 3:
+        # op is a 2-leaf join: adopt the recursed leaves directly
+        op.left, op.right = leaves[0][0], leaves[1][0]
         return op
 
     widths = [len(leaf.names) for leaf, _ in leaves]
@@ -326,19 +341,44 @@ def reorder_joins(op: b.LogicalOp) -> b.LogicalOp:
             bases.append(max(1.0, ests[lid]))
 
     def step_est(cur_est, placed, cand):
-        """System-R style: |A join B| = |A|*|B| / prod over connecting
-        edges of max(base of the edge's two sides)."""
+        """System-R: |A join B| = |A|*|B| / prod over connecting JOIN
+        EDGES of V(key) ~ base rows of the PK side (the smaller base —
+        the FK side draws its values from the PK domain, so max(bases)
+        grossly underestimates PK-FK joins). Conditions sharing the same
+        relation pair are ONE composite-key edge, not independent
+        filters."""
         divisor = 1.0
+        seen_pairs = set()
         connected = False
-        for r in cond_rels:
+        for r, rf in zip(cond_rels, cond_rels_f):
             if cand in r and len(r) > 1 and r <= placed | {cand}:
                 connected = True
-                others = r - {cand}
-                divisor *= max(bases[cand],
-                               max(bases[o] for o in others))
+                if rf in seen_pairs:
+                    continue
+                seen_pairs.add(rf)
+                divisor *= min(bases[x] for x in r)
         if not connected:
             return cur_est * ests[cand]
         return max(1.0, cur_est * ests[cand] / divisor)
+
+    def greedy_from(first):
+        order_ = [first]
+        placed_ = {first}
+        cur = ests[first]
+        total = 0.0
+        while len(order_) < k:
+            best, best_cost = None, None
+            for cand in range(k):
+                if cand in placed_:
+                    continue
+                cost = step_est(cur, placed_, cand)
+                if best_cost is None or (cost, ests[cand]) < best_cost:
+                    best, best_cost = cand, (cost, ests[cand])
+            order_.append(best)
+            placed_.add(best)
+            cur = best_cost[0]
+            total += cur
+        return order_, total
 
     def order_cost(order_):
         """Sum of estimated intermediate sizes along a left-deep order."""
@@ -351,26 +391,17 @@ def reorder_joins(op: b.LogicalOp) -> b.LogicalOp:
             total += cur
         return total
 
-    first = min(range(k), key=lambda i: (ests[i], bases[i]))
-    order = [first]
-    placed = {first}
-    cur_est = ests[first]
-    while len(order) < k:
-        best, best_cost = None, None
-        for cand in range(k):
-            if cand in placed:
-                continue
-            cost = step_est(cur_est, placed, cand)
-            if best_cost is None or (cost, ests[cand]) < best_cost:
-                best, best_cost = cand, (cost, ests[cand])
-        order.append(best)
-        placed.add(best)
-        cur_est = best_cost[0]
-    # adopt only on a clear estimated win over the original (tree) order —
-    # the estimates are crude, so ties keep the query's own join order
+    cond_rels_f = [frozenset(r) for r in cond_rels]
+    # run the greedy from every start (k is small) and keep the cheapest
+    order, best_total = None, None
+    for first in range(k):
+        o, total = greedy_from(first)
+        if best_total is None or total < best_total:
+            order, best_total = o, total
     if order == list(range(k)) or \
-            order_cost(order) >= 0.5 * order_cost(list(range(k))):
-        return op
+            best_total >= order_cost(list(range(k))):
+        order = list(range(k))  # keep the query's own order, but still
+        # rebuild so the recursed leaves are adopted
 
     # old-global -> new-global column mapping
     new_start: Dict[int, int] = {}
@@ -806,6 +837,20 @@ def prune_columns(op: b.LogicalOp, required: Optional[Set[int]] = None) -> b.Log
         op._pruned_mapping = mapping
         return op
     if isinstance(op, b.LogicalProject):
+        if required is not None and len(required) < len(op.exprs):
+            # column-lifetime pruning: drop projection outputs the parent
+            # never reads (reorder_joins' order-restoring projections
+            # would otherwise keep every base column alive — the round-3
+            # "joins carry all 15 lineitem columns" regression)
+            keep = sorted(required) or ([0] if op.exprs else [])
+            mapping = {old: new for new, old in enumerate(keep)}
+            op.exprs = [op.exprs[i] for i in keep]
+            op.names = [op.names[i] for i in keep]
+            op.types = [op.types[i] for i in keep]
+            d = getattr(op, "dicts", None)
+            if d is not None:
+                op.dicts = [d[i] for i in keep]
+            op._pruned_mapping = mapping
         used_child: Set[int] = set()
         for e in op.exprs:
             used_child.update(c.index for c in _cols(e))
