@@ -340,25 +340,61 @@ def reorder_joins(op: b.LogicalOp) -> b.LogicalOp:
         else:
             bases.append(max(1.0, ests[lid]))
 
+    def _distinct_est(lid, e):
+        """V(key): distinct-count estimate for join key e on leaf lid.
+        Integer columns use the table zonemap range (min over segments of
+        vmin .. max of vmax), dictionary VARCHARs the dictionary size,
+        anything else the base row count (surrogate-PK assumption).
+        This is what catches low-cardinality equi-joins like TPC-H Q5's
+        c_nationkey = s_nationkey (V=25, NOT a PK-FK edge) — reference
+        analogue: distinct-count stats in statistics_propagator.cpp."""
+        base = bases[lid]
+        leaf = leaves[lid][0]
+        if isinstance(e, b.BColumn) and isinstance(leaf, b.LogicalGet):
+            d = getattr(e, "dictionary", None)
+            if d is not None:
+                try:
+                    return max(1.0, float(min(base, len(d))))
+                except Exception:
+                    return base
+            try:
+                name = leaf.column_ids[e.index - starts[lid]]
+                col = leaf.table.columns[name]
+                if col.ltype.np_dtype.kind in "iu" and col.segments:
+                    lo = min(s.vmin for s in col.segments)
+                    hi = max(s.vmax for s in col.segments)
+                    return max(1.0, float(min(base, hi - lo + 1)))
+            except Exception:
+                pass
+        return base
+
     def step_est(cur_est, placed, cand):
         """System-R: |A join B| = |A|*|B| / prod over connecting JOIN
-        EDGES of V(key) ~ base rows of the PK side (the smaller base —
-        the FK side draws its values from the PK domain, so max(bases)
-        grossly underestimates PK-FK joins). Conditions sharing the same
-        relation pair are ONE composite-key edge, not independent
-        filters."""
-        divisor = 1.0
-        seen_pairs = set()
+        EDGES of max(V(key) per side). Conditions sharing a relation
+        pair form ONE composite-key edge whose divisor is the LARGEST
+        single-condition divisor — multiplying per-column V assumes
+        column independence and underestimates correlated composites
+        (lineitem x partsupp on (partkey, suppkey) is 6M rows, not the
+        800k the product predicts); overestimating defers unfiltered
+        joins, which is the safe direction for a greedy order."""
+        pair_div: Dict[frozenset, float] = {}
         connected = False
-        for r, rf in zip(cond_rels, cond_rels_f):
+        for ci, r in enumerate(cond_rels):
             if cand in r and len(r) > 1 and r <= placed | {cand}:
                 connected = True
-                if rf in seen_pairs:
-                    continue
-                seen_pairs.add(rf)
-                divisor *= min(bases[x] for x in r)
+                info = cond_info[ci]
+                key = cond_rels_f[ci]
+                if info is None:
+                    d = min(bases[x] for x in r)
+                else:
+                    a, va, bb, vb = info
+                    d = max(min(bases[a], va), min(bases[bb], vb))
+                pair_div[key] = max(pair_div.get(key, 1.0), d)
         if not connected:
             return cur_est * ests[cand]
+        divisor = 1.0
+        for d in pair_div.values():
+            divisor *= d
         return max(1.0, cur_est * ests[cand] / divisor)
 
     def greedy_from(first):
@@ -392,6 +428,15 @@ def reorder_joins(op: b.LogicalOp) -> b.LogicalOp:
         return total
 
     cond_rels_f = [frozenset(r) for r in cond_rels]
+    cond_info = []
+    for (le, re_), r in zip(conds, cond_rels):
+        la, ra = rels_of(le), rels_of(re_)
+        if len(la) == 1 and len(ra) == 1:
+            a, bb = next(iter(la)), next(iter(ra))
+            cond_info.append((a, _distinct_est(a, le),
+                              bb, _distinct_est(bb, re_)))
+        else:
+            cond_info.append(None)
     # run the greedy from every start (k is small) and keep the cheapest
     order, best_total = None, None
     for first in range(k):
