@@ -387,8 +387,12 @@ def reorder_joins(op: b.LogicalOp) -> b.LogicalOp:
                 if info is None:
                     d = min(bases[x] for x in r)
                 else:
+                    # per side, V-hat = min(base rows, zonemap range) is an
+                    # OVERestimate for sparse keys (l_orderkey spans 1..6M
+                    # with 1.5M distinct), so take the smaller side's V-hat
+                    # (the PK side's estimate is the accurate one)
                     a, va, bb, vb = info
-                    d = max(min(bases[a], va), min(bases[bb], vb))
+                    d = min(min(bases[a], va), min(bases[bb], vb))
                 pair_div[key] = max(pair_div.get(key, 1.0), d)
         if not connected:
             return cur_est * ests[cand]
