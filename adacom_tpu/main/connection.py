@@ -149,9 +149,14 @@ class Connection:
         self.db.catalog.version = v + 1
 
     def _plan_select(self, stmt: ast.SelectStmt, key, lits, structural, stmt_idx):
+        # which slots join the key is a property of the TEMPLATE (the binder
+        # bakes literal values it saw at structural positions into the plan);
+        # once learned, later lookups build the full key without rebinding
+        known = self.db.template_slots.get((key, stmt_idx))
+        slots = structural if known is None else known
         cache_key = (
             key, stmt_idx,
-            tuple(sorted((s, repr(lits[s])) for s in structural)),
+            tuple(sorted((s, repr(lits[s])) for s in slots)),
             getattr(self.db.catalog, "version", 0),
         )
         with self.db.plan_cache_lock:
@@ -168,13 +173,12 @@ class Connection:
             getattr(self.db.catalog, "version", 0),
         )
         with self.db.plan_cache_lock:
+            self.db.template_slots[(key, stmt_idx)] = frozenset(all_structural)
             self.db.plan_cache[full_key] = plan
-            if full_key != cache_key and len(all_structural) == len(structural):
-                self.db.plan_cache[cache_key] = plan
-            # also store under the original key when binder added slots:
-            # impossible to reuse safely, so only the full key persists
             if len(self.db.plan_cache) > 4096:
                 self.db.plan_cache.clear()
+            if len(self.db.template_slots) > 8192:
+                self.db.template_slots.clear()
         return plan
 
     def _execute_select(self, stmt, key, lits, structural, stmt_idx) -> QueryResult:

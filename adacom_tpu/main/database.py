@@ -44,6 +44,11 @@ class Database:
         # plan cache: template key -> (statements, bound plan, meta)
         self.plan_cache: dict = {}
         self.plan_cache_lock = threading.Lock()
+        # template -> structural slot set learned at first bind (binder-baked
+        # literals widen the plan-cache key; remembering the widened set per
+        # template lets later lookups build the FULL key up front instead of
+        # rebinding every execution)
+        self.template_slots: dict = {}
         # raw SQL text -> parse() output (hot repeated lookups skip parsing)
         self.parse_cache: dict = {}
         self._closed = False

@@ -1187,50 +1187,71 @@ class Binder:
                 return str(a.value)
             raise BindError(f"{name}: argument must be a literal or a VARCHAR column")
 
-        def apply(s: str, params: List[b.BExpr]) -> str:
+        def compile_fn(params: List[b.BExpr]):
+            """Resolve literal arguments ONCE and return a str->str mapper
+            (the mapper runs over every dictionary entry — per-call
+            literal parsing made substring() 10x slower at bind time)."""
             if name == "lower":
-                return s.lower()
+                return lambda s: s.lower()
             if name == "upper":
-                return s.upper()
+                return lambda s: s.upper()
             if name == "trim":
-                return s.strip()
+                return lambda s: s.strip()
             if name == "ltrim":
-                return s.lstrip()
+                return lambda s: s.lstrip()
             if name == "rtrim":
-                return s.rstrip()
+                return lambda s: s.rstrip()
             if name == "substring":
                 start = int(_lit_num(params[0], self, name))
                 ln = int(_lit_num(params[1], self, name)) if len(params) > 1 else None
                 i0 = max(0, start - 1)
-                return s[i0:] if ln is None else s[i0:i0 + ln]
+                if ln is None:
+                    return lambda s: s[i0:]
+                j = i0 + ln
+                return lambda s: s[i0:j]
             if name == "replace":
-                return s.replace(str_of(params[0]), str_of(params[1]))
+                a, c = str_of(params[0]), str_of(params[1])
+                return lambda s: s.replace(a, c)
             if name == "left":
                 n = int(_lit_num(params[0], self, name))
-                return s[:n] if n >= 0 else s[:max(0, len(s) + n)]
+                if n >= 0:
+                    return lambda s: s[:n]
+                return lambda s: s[:max(0, len(s) + n)]
             if name == "right":
                 n = int(_lit_num(params[0], self, name))
-                if n >= 0:
-                    return s[max(0, len(s) - n):] if n else ""
-                return s[-n:]
+                if n > 0:
+                    return lambda s: s[max(0, len(s) - n):]
+                if n == 0:
+                    return lambda s: ""
+                return lambda s: s[-n:]
             if name in ("lpad", "rpad"):
                 n = int(_lit_num(params[0], self, name))
                 fill = str_of(params[1]) if len(params) > 1 else " "
-                if len(s) >= n:
-                    return s[:n]
-                pad = (fill * n)[: n - len(s)] if fill else ""
-                return pad + s if name == "lpad" else s + pad
+                left_pad = name == "lpad"
+
+                def pad_fn(s):
+                    if len(s) >= n:
+                        return s[:n]
+                    pad = (fill * n)[: n - len(s)] if fill else ""
+                    return pad + s if left_pad else s + pad
+
+                return pad_fn
             if name == "reverse":
-                return s[::-1]
+                return lambda s: s[::-1]
             if name == "repeat":
-                return s * max(0, int(_lit_num(params[0], self, name)))
+                k = max(0, int(_lit_num(params[0], self, name)))
+                return lambda s: s * k
             if name == "split_part":
                 sep = str_of(params[0])
                 idx = int(_lit_num(params[1], self, name))
-                parts_ = s.split(sep) if sep else [s]
-                return parts_[idx - 1] if 1 <= idx <= len(parts_) else ""
+
+                def split_fn(s):
+                    parts_ = s.split(sep) if sep else [s]
+                    return parts_[idx - 1] if 1 <= idx <= len(parts_) else ""
+
+                return split_fn
             if name == "initcap":
-                return s.title()
+                return lambda s: s.title()
             raise BindError(f"unsupported string function {name}")
 
         if name == "concat":
@@ -1256,8 +1277,8 @@ class Binder:
         d = self._expr_dict(base)
         if d is None:
             # pure literal fold
-            return b.BLiteral(tt.VARCHAR, apply(str_of(base), args[1:]))
-        return self._derive_dict(base, lambda s: apply(s, args[1:]))
+            return b.BLiteral(tt.VARCHAR, compile_fn(args[1:])(str_of(base)))
+        return self._derive_dict(base, compile_fn(args[1:]))
 
     def _derive_dict(self, operand: b.BExpr, fn) -> b.BExpr:
         """Map a dict-encoded column through a per-string function: build the
@@ -1269,12 +1290,17 @@ class Binder:
         src = self._expr_dict(operand)
         out = StringDictionary()
         strs = src.strings_array()
-        lut = np.empty(max(1, len(strs)), dtype=np.uint32)
         if len(strs) == 0:
-            lut[0] = 0
+            lut = np.zeros(1, dtype=np.uint32)
             out.encode_one("")
-        for i, s in enumerate(strs):
-            lut[i] = out.encode_one(fn(str(s)))
+        else:
+            mapped = np.asarray([fn(str(s)) for s in strs], dtype=object)
+            # unique+inverse replaces 333k encode_one dict inserts with one
+            # sort (Q22 binds substring over the full c_phone dictionary)
+            uniq, inv = np.unique(mapped, return_inverse=True)
+            for u in uniq:
+                out.encode_one(str(u))
+            lut = inv.astype(np.uint32)
         return b.BDictMap(tt.VARCHAR, operand, lut, out)
 
     def _type_binary(self, op: str, l: b.BExpr, r: b.BExpr) -> b.BExpr:

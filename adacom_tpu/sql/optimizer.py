@@ -707,6 +707,34 @@ def _plan_correlated_semi(child: b.LogicalOp, c: b.BSubquery) -> b.LogicalOp:
     return node
 
 
+def _copy_plan(op: b.LogicalOp) -> b.LogicalOp:
+    """Deep copy of a plan subtree (storage Table references are shared).
+    Needed when one subtree appears twice in a plan: the optimizer mutates
+    nodes in place (pruning, mapping), so sharing would double-apply."""
+    kwargs = {}
+    for f in dataclasses.fields(op):
+        v = getattr(op, f.name)
+        if isinstance(v, b.LogicalOp):
+            v = _copy_plan(v)
+        elif isinstance(v, b.BExpr):
+            v = _copy_expr(v)
+        elif isinstance(v, list):
+            v = [
+                _copy_plan(x) if isinstance(x, b.LogicalOp)
+                else _copy_expr(x) if isinstance(x, b.BExpr)
+                else tuple(_copy_expr(y) if isinstance(y, b.BExpr) else y
+                           for y in x)
+                if isinstance(x, tuple) else x
+                for x in v
+            ]
+        kwargs[f.name] = v
+    out = type(op)(**kwargs)
+    d = getattr(op, "dicts", None)
+    if d is not None:
+        out.dicts = list(d)
+    return out
+
+
 def _plan_correlated_scalar(child: b.LogicalOp, sq: b.BSubquery):
     """`expr CMP (SELECT agg(..) FROM .. WHERE inner = outer ..)` ->
     grouped aggregate joined on the correlation keys. Returns
@@ -724,6 +752,7 @@ def _plan_correlated_scalar(child: b.LogicalOp, sq: b.BSubquery):
     if residuals or not pairs:
         raise DecorrelateError(
             "correlated scalar subquery requires pure equality correlation")
+    _magic_set_reduce(child, agg, pairs)
     G = len(pairs)
     agg.groups = [i for _, i in pairs]
     agg.names = [getattr(i, "name", f"g{k}") for k, (_, i) in enumerate(pairs)] + list(agg.names)
@@ -755,6 +784,78 @@ def _plan_correlated_scalar(child: b.LogicalOp, sq: b.BSubquery):
     node.dicts = (getattr(child, "dicts", [None] * len(child.names))
                   + getattr(sub_p, "dicts", [None] * len(sub_p.names)))
     return node, n_left
+
+
+def _leaf_source(node: b.LogicalOp, idx: int):
+    """(LogicalGet, local column index) feeding output column idx through
+    pass-through projections/filters/joins, or None. NULL-extended outer
+    rows are fine for magic-set use: a NULL key matches nothing in the
+    decorrelated join either."""
+    if isinstance(node, b.LogicalGet):
+        return node, idx
+    if isinstance(node, b.LogicalFilter):
+        return _leaf_source(node.child, idx)
+    if isinstance(node, b.LogicalProject):
+        e = node.exprs[idx]
+        if isinstance(e, b.BColumn):
+            return _leaf_source(node.child, e.index)
+        return None
+    if isinstance(node, b.LogicalJoin):
+        n_left = len(node.left.names)
+        if idx < n_left:
+            return _leaf_source(node.left, idx)
+        if node.join_type in ("semi", "anti"):
+            return None
+        return _leaf_source(node.right, idx - n_left)
+    return None
+
+
+def _magic_set_reduce(child: b.LogicalOp, agg: b.LogicalAggregate,
+                      pairs) -> None:
+    """Magic-set reduction for decorrelated scalar aggregates: semi-join
+    the aggregate's input with a copy of the (filtered) base relation the
+    correlation keys come from, so the aggregate computes only groups the
+    decorrelated join can keep (TPC-H Q17: avg over the 168 filtered
+    parts' lineitems, not all 200k part groups). Any SUPERSET of the
+    outer key domain is safe — the filtered source leaf is one.
+    Reference analogue: duplicate-eliminated outer domain joined into the
+    dependent subquery, src/planner/subquery/flatten_dependent_join.cpp."""
+    inner = agg.child
+    try:
+        srcs = []
+        for o, _ in pairs:
+            if not isinstance(o, b.BColumn):
+                return
+            srcs.append(_leaf_source(child, o.index))
+        if any(s is None for s in srcs):
+            return
+        leaf = srcs[0][0]
+        if any(s[0] is not leaf for s in srcs):
+            return  # keys must come from one relation to form key tuples
+        if not leaf.filters:
+            return  # unfiltered leaf = full key domain, no reduction
+        if est_rows(leaf) * 4 >= est_rows(inner):
+            return
+        outer = _copy_plan(leaf)
+    except Exception:
+        return
+    proj = b.LogicalProject(
+        names=[getattr(o, "name", f"k{k}") for k, (o, _) in enumerate(pairs)],
+        types=[o.ty for o, _ in pairs],
+        child=outer,
+        exprs=[b.BColumn(o.ty, srcs[k][1], getattr(o, "name", None),
+                         getattr(o, "dictionary", None))
+               for k, (o, _) in enumerate(pairs)],
+    )
+    proj.dicts = [getattr(o, "dictionary", None) for o, _ in pairs]
+    semi = b.LogicalJoin(
+        names=list(inner.names), types=list(inner.types),
+        left=inner, right=proj, join_type="semi",
+        conditions=[(_copy_expr(i), b.BColumn(o.ty, k))
+                    for k, (o, i) in enumerate(pairs)],
+    )
+    semi.dicts = getattr(inner, "dicts", [None] * len(inner.names))
+    agg.child = semi
 
 
 def _project_prefix(plan: b.LogicalOp, n: int) -> b.LogicalOp:
