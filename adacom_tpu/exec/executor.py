@@ -2194,15 +2194,31 @@ def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray],
     with a mesh attached, unique-build-key joins shuffle over all_to_all
     (parallel/ops.make_distributed_join_rowids). The host keeps the
     variable-length pair expansion either way."""
-    lk = _row_keys([k for k in lkeys])
-    rk = _row_keys([k for k in rkeys])
+    # single integer key: the value IS the join key — no hashing and, with
+    # no collisions possible, no pair verification (uint64 excluded: its
+    # top half aliases negative int64 under the common conversion)
+    exact = (
+        len(lkeys) == 1
+        and lkeys[0].dtype.kind in "iu" and rkeys[0].dtype.kind in "iu"
+        and lkeys[0].dtype != np.uint64 and rkeys[0].dtype != np.uint64
+    )
+    if exact:
+        lk = np.ascontiguousarray(lkeys[0], dtype=np.int64).view(np.uint64)
+        rk = np.ascontiguousarray(rkeys[0], dtype=np.int64).view(np.uint64)
+        verify = lambda li, ri: (np.asarray(li, dtype=np.int64),  # noqa: E731
+                                 np.asarray(ri, dtype=np.int64))
+    else:
+        lk = _row_keys([k for k in lkeys])
+        rk = _row_keys([k for k in rkeys])
+        verify = lambda li, ri: _verify_join_pairs(  # noqa: E731
+            lkeys, rkeys, li, ri)
     mesh = getattr(db, "mesh", None) if db is not None else None
     dthresh = getattr(config, "distributed_join_rows", 0) if config else 0
     if mesh is not None and dthresh and len(rk) and \
             len(lk) + len(rk) >= dthresh:
         pair = _distributed_join_pairs(db, mesh, lk, rk)
         if pair is not None:
-            return _verify_join_pairs(lkeys, rkeys, *pair)
+            return verify(*pair)
     budget = getattr(config, "memory_limit", None) if config else None
     if budget and (len(lk) + len(rk)) * 24 > budget // 2:
         # out-of-core: grace-hash-partitioned join with disk-backed pair
@@ -2219,7 +2235,7 @@ def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray],
         if device_join.on_tpu():
             li, ri = device_join.join_pairs(lk.view(np.int64),
                                             rk.view(np.int64))
-            return _verify_join_pairs(lkeys, rkeys, li, ri)
+            return verify(li, ri)
     # native chained-bucket hash table with threaded probes (reference
     # JoinHashTable::Build/Probe); falls back to the vectorized numpy
     # sort-probe join without the .so
@@ -2227,7 +2243,7 @@ def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray],
 
     pair = _native.hash_join_i64(rk.view(np.int64), lk.view(np.int64))
     if pair is not None:
-        return _verify_join_pairs(lkeys, rkeys, *pair)
+        return verify(*pair)
     order = np.argsort(rk, kind="stable")
     rk_sorted = rk[order]
     lo = np.searchsorted(rk_sorted, lk, side="left")
@@ -2242,7 +2258,7 @@ def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray],
     base = np.concatenate([[0], np.cumsum(counts)[:-1]])
     within = np.arange(total) - np.repeat(base, counts)
     ri = order[starts + within]
-    return _verify_join_pairs(lkeys, rkeys, li, ri)
+    return verify(li, ri)
 
 
 _DIST_JOIN_CACHE: Dict[tuple, Any] = {}
