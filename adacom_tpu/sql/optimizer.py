@@ -115,6 +115,12 @@ def push_filters(op: b.LogicalOp) -> b.LogicalOp:
     return op
 
 
+def _split_disjuncts(e: b.BExpr) -> List[b.BExpr]:
+    if isinstance(e, b.BBinary) and e.op == "or":
+        return _split_disjuncts(e.left) + _split_disjuncts(e.right)
+    return [e]
+
+
 def _push_conjuncts(child: b.LogicalOp, conjuncts: List[b.BExpr]):
     """Try to sink each conjunct into `child`; returns (child', leftovers)."""
     remaining: List[b.BExpr] = []
@@ -163,6 +169,37 @@ def _push_one(node: b.LogicalOp, conj: b.BExpr) -> bool:
                 shifted = _remap(conj, {i: i - n_left for i in idxs})
                 return _push_one(node.right, shifted)
             return False
+        # OR of conjunctions spanning both sides (TPC-H Q19): each side's
+        # implied predicate (the OR of that side's conjuncts, when every
+        # disjunct constrains the side) pushes down as a REDUNDANT extra
+        # filter; the original OR stays above for exactness (reference:
+        # FilterCombiner's OR-filter derivation,
+        # src/optimizer/filter_combiner.cpp)
+        if node.join_type in ("inner", "cross") and \
+                isinstance(conj, b.BBinary) and conj.op == "or":
+            disjuncts = _split_disjuncts(conj)
+            if len(disjuncts) >= 2:
+                for want in ("left", "right"):
+                    per = []
+                    for d in disjuncts:
+                        cs = [c for c in _split_conjuncts(d)
+                              if _side_of(c, n_left) == want]
+                        if not cs:
+                            per = None
+                            break
+                        per.append(_conjoin([_copy_expr(c) for c in cs]))
+                    if per:
+                        derived = per[0]
+                        for p in per[1:]:
+                            derived = b.BBinary(tt.BOOLEAN, "or", derived, p)
+                        if want == "right":
+                            derived = _remap(derived, {
+                                c.index: c.index - n_left
+                                for c in _cols(derived)})
+                            _push_one(node.right, derived)
+                        else:
+                            _push_one(node.left, derived)
+            # fall through: the OR itself is handled below / kept above
         # conjunct spans both sides: lift equi-predicates into join
         # conditions (comma joins parse as CROSS; this is the reference's
         # filter-pushdown + join-condition extraction,
