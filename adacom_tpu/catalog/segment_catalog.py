@@ -101,7 +101,8 @@ class ColumnSegmentCatalog:
             n_u += 1 if s.uncompact() else 0
         # decay counters (reference resets to zero; decay keeps skew memory)
         for s in segs:
-            s.num_reads >>= 1
+            with s._lock:
+                s.num_reads >>= 1
         self.policy_rounds += 1
         return (n_c, n_u)
 

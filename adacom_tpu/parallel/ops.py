@@ -34,7 +34,8 @@ from adacom_tpu.ops import bitpack
 
 def make_distributed_scan_agg(mesh, widths: Tuple[int, ...], n_lanes: int,
                               agg: str = "sum_count",
-                              predicate: Optional[Callable] = None):
+                              predicate: Optional[Callable] = None,
+                              has_validity: bool = False):
     """Build a jitted SPMD scan-aggregate over stacked packed segments.
 
     Inputs (sharded over the segment axis on dim 0):
@@ -44,44 +45,71 @@ def make_distributed_scan_agg(mesh, widths: Tuple[int, ...], n_lanes: int,
     plus replicated predicate params. Output: replicated aggregate.
 
     The per-device body decodes with the same vertical-layout kernel as
-    single-chip scans (ops/bitpack.py) and psum-merges partials — the
-    reference's local/global sink state merge (SURVEY.md §2.2) mapped onto
-    ICI collectives."""
-    (w,) = widths  # single 32-bit plane (u32 data)
-    n_pad = bitpack.ROWS * n_lanes
+    single-chip scans (ops/segcodec.decode_traced — every representation
+    class: one or two planes, constant planes, 64-bit lo/hi) and
+    psum-merges partials — the reference's local/global sink state merge
+    (SURVEY.md §2.2) mapped onto ICI collectives. `has_validity` adds a
+    width-1-packed validity plane input whose zero rows are excluded."""
+    from adacom_tpu.ops import segcodec
 
-    def seg_partial(words, mn, count, params):
-        codes = bitpack.unpack(words, width=w).reshape(-1)
-        vals = codes + mn
+    n_pad = bitpack.ROWS * n_lanes
+    compute = jnp.int64 if len(widths) == 2 else jnp.uint32
+    offs = np.concatenate([[0], np.cumsum(widths)]).astype(int)
+
+    def seg_partial(words, vplane, mn, count, params):
+        planes = tuple(
+            words[offs[i]:offs[i + 1]] if widths[i] else None
+            for i in range(len(widths))
+        )
+        vals = segcodec.decode_traced(planes, mn, widths=widths,
+                                      compute_dtype=compute)
         idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).squeeze(-1)
         mask = idx < count
+        if vplane is not None:
+            vbits = bitpack.unpack(vplane, width=1).reshape(-1)
+            mask = mask & (vbits != 0)
         if predicate is not None:
             mask = mask & predicate(vals, params)
         cnt = jnp.sum(mask.astype(jnp.int64))
         s = jnp.sum(jnp.where(mask, vals.astype(jnp.int64), 0))
         return s, cnt
 
-    def device_body(words, mins, counts, params):
-        s, c = jax.vmap(seg_partial, in_axes=(0, 0, 0, None))(
-            words, mins, counts, params
-        )
-        s = jax.lax.psum(jnp.sum(s), SEG_AXIS)
-        c = jax.lax.psum(jnp.sum(c), SEG_AXIS)
-        return s, c
+    if has_validity:
+        def device_body(words, valid, mins, counts, params):
+            s, c = jax.vmap(seg_partial, in_axes=(0, 0, 0, 0, None))(
+                words, valid, mins, counts, params
+            )
+            return (jax.lax.psum(jnp.sum(s), SEG_AXIS),
+                    jax.lax.psum(jnp.sum(c), SEG_AXIS))
 
-    sharded = shard_map(
-        device_body,
-        mesh=mesh,
-        in_specs=(P(SEG_AXIS, None, None), P(SEG_AXIS), P(SEG_AXIS), P()),
-        out_specs=(P(), P()),
-    )
+        in_specs = (P(SEG_AXIS, None, None), P(SEG_AXIS, None, None),
+                    P(SEG_AXIS), P(SEG_AXIS), P())
+    else:
+        def device_body(words, mins, counts, params):
+            s, c = jax.vmap(
+                lambda w, m, n, p: seg_partial(w, None, m, n, p),
+                in_axes=(0, 0, 0, None))(words, mins, counts, params)
+            return (jax.lax.psum(jnp.sum(s), SEG_AXIS),
+                    jax.lax.psum(jnp.sum(c), SEG_AXIS))
+
+        in_specs = (P(SEG_AXIS, None, None), P(SEG_AXIS), P(SEG_AXIS), P())
+    sharded = shard_map(device_body, mesh=mesh, in_specs=in_specs,
+                        out_specs=(P(), P()))
     return jax.jit(sharded)
 
 
 def stack_packed_segments(packed_list, n_lanes: int):
-    """Stack same-width PackedData into (n_seg, w, L) + minima + counts."""
-    words = jnp.stack([p.words[0] for p in packed_list])
-    mins = jnp.asarray([p.min_factor for p in packed_list], dtype=jnp.uint32)
+    """Stack same-width PackedData into (n_seg, sum(w), L) + minima +
+    counts. Multi-plane segments concatenate their planes on the word
+    axis (matching make_distributed_scan_agg's width offsets); constant
+    (width-0) planes contribute no words."""
+    words = jnp.stack([
+        jnp.concatenate([w for w in p.words if w is not None], axis=0)
+        if sum(1 for w in p.words if w is not None) > 1
+        else next(w for w in p.words if w is not None)
+        for p in packed_list
+    ])
+    mins = jnp.asarray([p.min_factor for p in packed_list], dtype=jnp.int64)
     counts = jnp.asarray([p.count for p in packed_list], dtype=jnp.int32)
     return words, mins, counts
 

@@ -65,7 +65,8 @@ class ColumnSegment:
         self.compute_dtype = compute_dtype_for(ltype.np_dtype)
         self._lock = threading.RLock()
 
-        # access statistics (reference AccessStatistics.num_reads)
+        # access statistics (reference AccessStatistics.num_reads);
+        # written under self._lock by scans and the policy thread
         self.num_reads = 0
 
         # validity: None == all rows valid
@@ -337,8 +338,16 @@ class ColumnSegment:
     # scan interface
     # ------------------------------------------------------------------
     def add_read_access(self) -> None:
-        """Reference ColumnSegmentCatalog::AddReadAccess (called per scan)."""
-        self.num_reads += 1
+        """Reference ColumnSegmentCatalog::AddReadAccess (called per scan).
+
+        Incremented under the segment lock: a bare `+= 1` is a
+        read-modify-write that concurrent scan threads could interleave
+        on GIL-free builds, and the policy thread's decay
+        (segment_catalog.CompressLowestKSegments) writes the same field.
+        The reference's unsynchronized unordered_map was racy by
+        construction (SURVEY §2.1) — this design fixes it."""
+        with self._lock:
+            self.num_reads += 1
 
     def reader_arrays(self):
         """Snapshot for fused execution: (meta, device arrays).

@@ -164,3 +164,41 @@ def test_sample_hot_keys():
                     rng.integers(0, 10_000, 100_000)).astype(np.int64)
     hot = pops.sample_hot_keys(keys, n_dev=8)
     assert 42 in hot and len(hot) <= 4
+
+
+def test_distributed_scan_agg_two_plane_validity(mesh8, rng):
+    """BIGINT (lo/hi two-plane) segments with a packed validity plane ride
+    the same SPMD kernel (VERDICT r03 weak #7: the standalone distributed
+    scan-agg only handled single-plane u32)."""
+    seg_rows = 512
+    n_seg = 16
+    packs, datas, vbits = [], [], []
+    for s in range(n_seg):
+        base = (1 << 40) + int(rng.integers(0, 1 << 20))
+        vals = (base + rng.integers(0, 1 << 34, seg_rows)).astype(np.int64)
+        valid = rng.random(seg_rows) > 0.1
+        datas.append(vals)
+        vbits.append(valid)
+        packs.append(segcodec.pack_segment(jnp.asarray(vals), tt.BIGINT))
+    widths = packs[0].widths
+    assert len(widths) == 2 and all(p.widths == widths for p in packs)
+    n_lanes = packs[0].n_lanes
+    words, mins, counts = pops.stack_packed_segments(packs, n_lanes)
+    vplanes = jnp.stack([
+        bitpack.pack(bitpack.pad_codes(
+            jnp.asarray(v.astype(np.uint32)), n_lanes), width=1)
+        for v in vbits
+    ])
+    thresh = np.int64((1 << 40) + (1 << 33))
+    pred = lambda v, params: v < params
+    fn = pops.make_distributed_scan_agg(mesh8, widths, n_lanes,
+                                        predicate=pred, has_validity=True)
+    s, c = fn(pmesh.shard_leading(mesh8, words),
+              pmesh.shard_leading(mesh8, vplanes),
+              pmesh.shard_leading(mesh8, mins),
+              pmesh.shard_leading(mesh8, counts), thresh)
+    all_vals = np.concatenate(datas)
+    all_valid = np.concatenate(vbits)
+    m = all_valid & (all_vals < thresh)
+    assert int(c) == int(m.sum())
+    assert int(s) == int(all_vals[m].sum())
