@@ -16,7 +16,17 @@ Variants here:
                      reconstructed through sql/serialize.py, then executed
                      (catches serializer gaps and hidden in-memory state
                      the plan silently depends on — the reference's
-                     deserialized_statement_verifier.cpp).
+                     deserialized_statement_verifier.cpp);
+- ``prepared``     — the plan as a value-free template (parameter slots
+                     only), literal values supplied at execution — the
+                     prepared-statement path (prepared_statement_verifier.cpp);
+                     statements whose binding baked literal values
+                     (bind-time-evaluated functions, binder.structural
+                     non-empty) are skipped, as the reference skips
+                     unpreparable statements;
+- ``external``     — executed on a FRESH Connection of the same database
+                     (new executor, empty caches): catches connection-local
+                     state leaking into results (external_statement_verifier.cpp).
 
 Enabled via ``SET query_verification_enabled = true`` (the reference enables
 it in debug builds / tests). Results are compared as row multisets; LIMIT
@@ -56,11 +66,22 @@ def verify_select(connection, stmt: ast.SelectStmt, lits,
     from adacom_tpu.main.result import QueryResult
 
     base = _rows_key(baseline_rows)
-    for variant in ("copied", "unoptimized", "deserialized"):
+    for variant in ("copied", "unoptimized", "deserialized", "prepared",
+                    "external"):
+        executor = connection.executor
         binder = Binder(connection.db.catalog, connection.db.config)
         plan = binder.bind_select(stmt)
+        if variant == "prepared" and binder.structural:
+            # the binder baked literal values into this plan (bind-time-
+            # evaluated functions): not preparable as a value-free
+            # template — skip, as the reference's prepared verifier skips
+            # unpreparable statements
+            continue
         if _has_unordered_limit(plan):
             return None
+        if variant == "external":
+            # fresh connection = fresh executor + caches on the same db
+            executor = type(connection)(connection.db).executor
         if variant == "unoptimized":
             plan = push_filters(plan)  # required rewrites only
         else:
@@ -79,7 +100,7 @@ def verify_select(connection, stmt: ast.SelectStmt, lits,
                     f"verifier [deserialized]: serialization failed: {e}")
             plan = deserialize_plan(json.loads(payload),
                                     connection.db.catalog)
-        mat = connection.executor.execute(plan, lits)
+        mat = executor.execute(plan, lits)
         rows = QueryResult(mat.names, mat.types, mat.cols, mat.valids,
                            mat.dicts).fetchall()
         got = _rows_key(rows)

@@ -79,3 +79,23 @@ def test_profiler_phases_and_operator_tree():
     assert "Aggregate" in p["operators"] and "rows=1" in p["operators"]
     assert p["total_s"] > 0
     db.close()
+
+
+def test_verifier_prepared_and_external_variants():
+    """Prepared (value-free template) + external (fresh connection)
+    verifier variants run; statements with bind-time-baked literals skip
+    the prepared variant instead of failing (statement_verifier.hpp:17-29
+    parity: PREPARED, EXTERNAL)."""
+    db, con = _db()
+    con.query("SET query_verification_enabled = true")
+    # plain parameterized query: all five variants run
+    r = con.query("SELECT SUM(i) FROM t WHERE i >= 10 AND i < 500").fetchone()
+    assert r[0] == sum(range(10, 500))
+    # string-function query: binder bakes the substring args (structural),
+    # so the prepared variant must SKIP (not crash) while others verify
+    con.query("CREATE TABLE s(v VARCHAR)")
+    con.query("INSERT INTO s VALUES ('alpha'), ('beta'), ('alphabet')")
+    r = con.query(
+        "SELECT count(*) FROM s WHERE substring(v, 1, 4) = 'alph'").fetchone()
+    assert int(r[0]) == 2
+    db.close()
