@@ -40,6 +40,7 @@ class ColumnSegmentCatalog:
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
         self.background_compaction_enabled = False
+        self._dict_columns: List = []  # VARCHAR columns (FSST compaction)
         # statistics for introspection / benchmarks
         self.policy_rounds = 0
 
@@ -81,6 +82,17 @@ class ColumnSegmentCatalog:
         """Reference CompactAllSegments (benchmarks call this after load)."""
         for s in self.segments_snapshot():
             s.compact()
+        if getattr(self.config, "fsst_dictionary_enabled", True):
+            with self._lock:
+                cols = list(self._dict_columns)
+            for col in cols:
+                col.dictionary.compress_fsst()
+
+    def add_dictionary_column(self, col) -> None:
+        """Register a VARCHAR column so dictionary-blob compaction (FSST)
+        runs alongside segment compaction."""
+        with self._lock:
+            self._dict_columns.append(col)
 
     def compress_lowest_k_segments(self, rate: float | None = None) -> tuple:
         """One adaptive policy step (reference CompressLowestKSegments,

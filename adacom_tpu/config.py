@@ -81,6 +81,10 @@ class DBConfig:
     # scans are unaffected (they stay on the TPU). Disable to force device
     # materialization.
     host_materialize: bool = True
+    # Compact cold VARCHAR dictionaries with the native FSST-class codec
+    # when segments compact (reference fsst.cpp; adopted only when the
+    # encoding actually shrinks the blob).
+    fsst_dictionary_enabled: bool = True
     # WAL size (bytes) that triggers an automatic checkpoint; None disables
     # (reference checkpoint-on-threshold; PRAGMA wal_autocheckpoint).
     wal_autocheckpoint: Optional[int] = 64 * 1024 * 1024
@@ -107,6 +111,7 @@ class DBConfig:
             "query_verification_enabled",
             "host_materialize",
             "pallas_scan_enabled",
+            "fsst_dictionary_enabled",
         }
     )
 

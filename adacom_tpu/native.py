@@ -84,6 +84,15 @@ def _load() -> Optional[ctypes.CDLL]:
     for nm in ("adacom_gather8", "adacom_gather4", "adacom_gather1"):
         fn = getattr(lib, nm)
         fn.argtypes = [ctypes.c_void_p, _p_i64, _i64, ctypes.c_void_p]
+    _p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.adacom_fsst_train.argtypes = [_p_u8, _i64, _p_u8, _p_u8]
+    lib.adacom_fsst_train.restype = _int
+    lib.adacom_fsst_encode.argtypes = [_p_u8, _p_u8, _int, _p_u8, _p_i64,
+                                       _i64, _p_u8, _i64, _p_i64]
+    lib.adacom_fsst_encode.restype = _i64
+    lib.adacom_fsst_decode.argtypes = [_p_u8, _p_u8, _int, _p_u8, _i64,
+                                       _p_u8, _i64]
+    lib.adacom_fsst_decode.restype = _i64
     _LIB = lib
     return lib
 
@@ -316,3 +325,55 @@ def gather_rows(src: np.ndarray, idx: np.ndarray) -> Optional[np.ndarray]:
     fn(src.ctypes.data_as(ctypes.c_void_p), idx, len(idx),
        out.ctypes.data_as(ctypes.c_void_p))
     return out
+
+
+# ---------------- FSST-class string compression ----------------
+
+
+def fsst_train(corpus: np.ndarray):
+    """Train a symbol table on a byte corpus; returns (symtab (254,8) u8,
+    symlens (254,) u8, n_symbols) or None without the .so."""
+    lib = _load()
+    if lib is None:
+        return None
+    corpus = np.ascontiguousarray(corpus, dtype=np.uint8)
+    symtab = np.zeros((254, 8), dtype=np.uint8)
+    symlens = np.zeros(254, dtype=np.uint8)
+    n = lib.adacom_fsst_train(corpus, len(corpus), symtab.reshape(-1),
+                              symlens)
+    return symtab, symlens, int(n)
+
+
+def fsst_encode(symtab, symlens, n_sym, corpus: np.ndarray,
+                offs: np.ndarray):
+    """Encode n strings (corpus + n+1 offsets) -> (blob u8, out_offs) or
+    None without the .so."""
+    lib = _load()
+    if lib is None:
+        return None
+    corpus = np.ascontiguousarray(corpus, dtype=np.uint8)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    n_str = len(offs) - 1
+    cap = max(16, 2 * len(corpus) + 2 * n_str)
+    out = np.empty(cap, dtype=np.uint8)
+    out_offs = np.empty(n_str + 1, dtype=np.int64)
+    w = lib.adacom_fsst_encode(symtab.reshape(-1), symlens, int(n_sym),
+                               corpus, offs, n_str, out, cap, out_offs)
+    if w < 0:
+        return None
+    return out[:w].copy(), out_offs
+
+
+def fsst_decode(symtab, symlens, n_sym, blob: np.ndarray) -> bytes:
+    """Decode one encoded string's bytes."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    cap = max(16, 8 * len(blob))
+    out = np.empty(cap, dtype=np.uint8)
+    w = lib.adacom_fsst_decode(symtab.reshape(-1), symlens, int(n_sym),
+                               blob, len(blob), out, cap)
+    if w < 0:
+        raise ValueError("corrupt FSST stream")
+    return out[:w].tobytes()

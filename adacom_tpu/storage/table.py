@@ -26,24 +26,104 @@ from adacom_tpu.storage.segment import ColumnSegment
 
 
 class StringDictionary:
-    """Append-only string dictionary: str <-> uint32 code."""
+    """Append-only string dictionary: str <-> uint32 code.
+
+    Cold dictionaries can compact their string storage with the native
+    FSST-class codec (reference fsst.cpp + third_party/fsst): the plain
+    list swaps for (symbol table, encoded blob, per-string offsets), and
+    single entries decode independently (random access preserved). Any
+    append / lookup path restores the plain form first — the same
+    Uncompact-then-Append discipline segments use."""
 
     def __init__(self):
-        self._codes: Dict[str, int] = {}
-        self._strings: List[str] = []
+        self._codes: Optional[Dict[str, int]] = {}
+        self._strings: Optional[List[str]] = []
+        self._fsst = None  # (symtab, symlens, n_sym, blob, offs)
+        self._count = 0
+        self._plain_nbytes: Optional[int] = None
 
     def __len__(self):
-        return len(self._strings)
+        return self._count if self._strings is None else len(self._strings)
 
+    # ---------------- FSST compaction ----------------
+    def compress_fsst(self) -> bool:
+        """Swap plain strings for the FSST-encoded form; returns True when
+        adopted (native lib present AND the encoding actually shrinks)."""
+        if self._fsst is not None or not self._strings:
+            return False
+        from adacom_tpu import native
+
+        enc = [s.encode("utf-8", "surrogatepass") for s in self._strings]
+        corpus = b"".join(enc)
+        if len(corpus) < 4096:
+            return False
+        offs = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in enc], out=offs[1:])
+        arr = np.frombuffer(corpus, dtype=np.uint8)
+        trained = native.fsst_train(arr)
+        if trained is None:
+            return False
+        symtab, symlens, n_sym = trained
+        encoded = native.fsst_encode(symtab, symlens, n_sym, arr, offs)
+        if encoded is None:
+            return False
+        blob, eoffs = encoded
+        packed = len(blob) + eoffs.nbytes + symtab.nbytes + symlens.nbytes
+        if packed >= len(corpus) + offs.nbytes:
+            return False  # incompressible (random/binary-ish): keep plain
+        self._plain_nbytes = len(corpus) + offs.nbytes
+        self._count = len(self._strings)
+        self._fsst = (symtab, symlens, n_sym, blob, eoffs)
+        self._strings = None
+        self._codes = None
+        return True
+
+    def _ensure_plain(self) -> None:
+        if self._strings is not None:
+            return
+        from adacom_tpu import native
+
+        symtab, symlens, n_sym, blob, eoffs = self._fsst
+        strs = [
+            native.fsst_decode(symtab, symlens, n_sym,
+                               blob[eoffs[i]:eoffs[i + 1]])
+            .decode("utf-8", "surrogatepass")
+            for i in range(self._count)
+        ]
+        self._strings = strs
+        self._codes = {s: i for i, s in enumerate(strs)}
+        self._fsst = None
+
+    def footprint_bytes(self) -> int:
+        """Logical bytes of string storage (GetDataSize-style accounting):
+        encoded blob + offsets + symbol table when compressed, utf-8 bytes
+        + offsets when plain."""
+        if self._fsst is not None:
+            symtab, symlens, _, blob, eoffs = self._fsst
+            return len(blob) + eoffs.nbytes + symtab.nbytes + symlens.nbytes
+        if self._plain_nbytes is None:
+            self._plain_nbytes = (
+                sum(len(s.encode("utf-8", "surrogatepass"))
+                    for s in self._strings)
+                + 8 * (len(self._strings) + 1))
+        return self._plain_nbytes
+
+    def is_compressed(self) -> bool:
+        return self._fsst is not None
+
+    # ---------------- plain interface ----------------
     def encode_one(self, s: str) -> int:
+        self._ensure_plain()
         code = self._codes.get(s)
         if code is None:
             code = len(self._strings)
             self._codes[s] = code
             self._strings.append(s)
+            self._plain_nbytes = None
         return code
 
     def encode(self, values: Sequence) -> np.ndarray:
+        self._ensure_plain()
         out = np.empty(len(values), dtype=np.uint32)
         enc = self.encode_one
         for i, v in enumerate(values):
@@ -51,18 +131,39 @@ class StringDictionary:
         return out
 
     def lookup(self, s: str) -> Optional[int]:
+        self._ensure_plain()
         return self._codes.get(s)
 
     def decode(self, codes: np.ndarray) -> List[str]:
+        if self._fsst is not None:
+            # random access into the compressed form: decode only the
+            # requested codes, memoized (point lookups stay cheap)
+            from adacom_tpu import native
+
+            symtab, symlens, n_sym, blob, eoffs = self._fsst
+            memo: Dict[int, str] = {}
+            out = []
+            for c in codes:
+                c = int(c)
+                got = memo.get(c)
+                if got is None:
+                    got = native.fsst_decode(
+                        symtab, symlens, n_sym, blob[eoffs[c]:eoffs[c + 1]]
+                    ).decode("utf-8", "surrogatepass")
+                    memo[c] = got
+                out.append(got)
+            return out
         strs = self._strings
         return [strs[c] for c in codes]
 
     def strings_array(self) -> np.ndarray:
+        self._ensure_plain()
         return np.asarray(self._strings, dtype=object)
 
     def rank_array(self) -> np.ndarray:
         """rank[code] = position of the string in sorted order (for ORDER BY
         / range comparisons on dictionary codes)."""
+        self._ensure_plain()
         order = np.argsort(np.asarray(self._strings, dtype=object), kind="stable")
         rank = np.empty(len(self._strings), dtype=np.uint32)
         rank[order] = np.arange(len(self._strings), dtype=np.uint32)
@@ -80,6 +181,8 @@ class Column:
         self.dictionary: Optional[StringDictionary] = (
             StringDictionary() if ltype.is_string else None
         )
+        if self.dictionary is not None and seg_catalog is not None:
+            seg_catalog.add_dictionary_column(self)
         # staging: list of (values, validity|None) numpy chunks not yet sealed
         self._staging: List[tuple] = []
         self._staged_rows = 0
@@ -166,10 +269,15 @@ class Column:
         self.flush()
         for s in self.segments:
             s.compact()
+        if self.dictionary is not None and \
+                getattr(self.config, "fsst_dictionary_enabled", True):
+            self.dictionary.compress_fsst()
 
     def uncompact_all(self):
         for s in self.segments:
             s.uncompact()
+        if self.dictionary is not None:
+            self.dictionary._ensure_plain()
 
 
 class Table:

@@ -23,6 +23,7 @@
 #include <atomic>
 #include <thread>
 #include <vector>
+#include <unordered_map>
 
 extern "C" {
 
@@ -614,6 +615,141 @@ int64_t adacom_filter_range_i32(const int32_t* vals, int64_t n, int32_t lo,
     for (int64_t i = 0; i < n; ++i)
         if (vals[i] >= lo && vals[i] <= hi) rows_out[m++] = i;
     return m;
+}
+
+
+// ----------------------------------------------------------------------
+// FSST-class string compression (reference: src/storage/compression/
+// fsst.cpp + third_party/fsst; Boncz, Neumann, Leis, "FSST: Fast Random
+// Access String Compression", VLDB 2020). Simplified trainer: one
+// counting pass over a bounded sample scores every 2..8-gram by saved
+// bytes ((len-1) * freq) and the top <=254 become the symbol table.
+// Encoder: greedy longest match, escape byte 255 + literal for misses.
+// Random access is preserved: strings encode independently (per-string
+// offsets), so one dictionary entry decodes without touching the rest.
+// ----------------------------------------------------------------------
+
+// Symbols are 2..7 bytes: (bytes << 3) | len is then an INVERTIBLE
+// 59-bit key (8-byte symbols would overflow it — the paper's tables go
+// to 8; one byte of headroom costs ~2% ratio and buys exact keys).
+static inline uint64_t fsst_gram_key(const uint8_t* p, int len) {
+    uint64_t k = 0;
+    for (int i = 0; i < len; ++i) k = (k << 8) | p[i];
+    return (k << 3) | (uint64_t)len;
+}
+
+// symtab: 254*8 bytes, symlens: 254. Returns the symbol count.
+int adacom_fsst_train(const uint8_t* corpus, int64_t len,
+                      uint8_t* symtab, uint8_t* symlens) {
+    const int64_t SAMPLE = 1 << 18;  // 256 KB of sampled positions
+    int64_t stride = len <= SAMPLE ? 1 : len / SAMPLE;
+    std::unordered_map<uint64_t, uint32_t> counts;
+    counts.reserve((size_t)(std::min(len, SAMPLE) * 2));
+    for (int64_t base = 0; base < len; base += stride) {
+        const uint8_t* p = corpus + base;
+        int max_l = (int)std::min<int64_t>(7, len - base);
+        for (int l = 2; l <= max_l; ++l) ++counts[fsst_gram_key(p, l)];
+    }
+    struct Cand { uint64_t key; uint64_t score; };
+    std::vector<Cand> cands;
+    cands.reserve(counts.size());
+    for (const auto& kv : counts) {
+        int l = (int)(kv.first & 7u);
+        if (kv.second < 2) continue;  // singletons never pay
+        cands.push_back({kv.first, (uint64_t)(l - 1) * kv.second});
+    }
+    int want = (int)std::min<size_t>(254, cands.size());
+    std::partial_sort(cands.begin(), cands.begin() + want, cands.end(),
+                      [](const Cand& a, const Cand& b) {
+                          return a.score > b.score;
+                      });
+    for (int i = 0; i < want; ++i) {
+        int l = (int)(cands[i].key & 7u);
+        uint64_t bytes = cands[i].key >> 3;
+        symlens[i] = (uint8_t)l;
+        for (int j = l - 1; j >= 0; --j) {
+            symtab[(int64_t)i * 8 + j] = (uint8_t)(bytes & 0xFF);
+            bytes >>= 8;
+        }
+    }
+    return want;
+}
+
+struct FsstLookup {
+    std::unordered_map<uint64_t, uint8_t> map;
+};
+
+static FsstLookup* fsst_build_lookup(const uint8_t* symtab,
+                                     const uint8_t* symlens, int n_sym) {
+    auto* lk = new FsstLookup();
+    lk->map.reserve((size_t)n_sym * 2);
+    for (int i = 0; i < n_sym; ++i)
+        lk->map[fsst_gram_key(symtab + (int64_t)i * 8, symlens[i])] =
+            (uint8_t)i;
+    return lk;
+}
+
+// Encode n_str strings (corpus with n_str+1 offsets) into out/out_offs.
+// Returns total encoded bytes, or -1 if out_cap would overflow.
+int64_t adacom_fsst_encode(const uint8_t* symtab, const uint8_t* symlens,
+                           int n_sym, const uint8_t* corpus,
+                           const int64_t* offs, int64_t n_str,
+                           uint8_t* out, int64_t out_cap,
+                           int64_t* out_offs) {
+    FsstLookup* lk = fsst_build_lookup(symtab, symlens, n_sym);
+    int64_t w = 0;
+    out_offs[0] = 0;
+    for (int64_t s = 0; s < n_str; ++s) {
+        const uint8_t* p = corpus + offs[s];
+        int64_t slen = offs[s + 1] - offs[s];
+        int64_t i = 0;
+        while (i < slen) {
+            int max_l = (int)std::min<int64_t>(7, slen - i);
+            int hit = -1, hit_l = 0;
+            for (int l = max_l; l >= 2; --l) {
+                auto it = lk->map.find(fsst_gram_key(p + i, l));
+                if (it != lk->map.end()) {
+                    hit = it->second;
+                    hit_l = l;
+                    break;
+                }
+            }
+            if (hit >= 0) {
+                if (w + 1 > out_cap) { delete lk; return -1; }
+                out[w++] = (uint8_t)hit;
+                i += hit_l;
+            } else {
+                if (w + 2 > out_cap) { delete lk; return -1; }
+                out[w++] = 255;
+                out[w++] = p[i++];
+            }
+        }
+        out_offs[s + 1] = w;
+    }
+    delete lk;
+    return w;
+}
+
+// Decode one encoded string into out; returns decoded length or -1 if cap
+// would overflow.
+int64_t adacom_fsst_decode(const uint8_t* symtab, const uint8_t* symlens,
+                           int n_sym, const uint8_t* in, int64_t len,
+                           uint8_t* out, int64_t cap) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < len;) {
+        uint8_t c = in[i++];
+        if (c == 255) {
+            if (i >= len || w + 1 > cap) return -1;
+            out[w++] = in[i++];
+        } else {
+            if (c >= n_sym) return -1;
+            int l = symlens[c];
+            if (w + l > cap) return -1;
+            std::memcpy(out + w, symtab + (int64_t)c * 8, (size_t)l);
+            w += l;
+        }
+    }
+    return w;
 }
 
 }  // extern "C"
