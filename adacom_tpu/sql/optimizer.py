@@ -478,12 +478,45 @@ def reorder_joins(op: b.LogicalOp) -> b.LogicalOp:
                               bb, _distinct_est(bb, re_)))
         else:
             cond_info.append(None)
-    # run the greedy from every start (k is small) and keep the cheapest
-    order, best_total = None, None
-    for first in range(k):
-        o, total = greedy_from(first)
-        if best_total is None or total < best_total:
-            order, best_total = o, total
+    # Exact DP enumeration over connected subsets for small k (the
+    # reference runs DPccp up to a relation budget then falls back to
+    # greedy, join_order_optimizer.cpp:1-1024); left-deep DP here — the
+    # executor builds left-deep trees anyway. For larger k, greedy from
+    # every start.
+    def dp_order():
+        full = (1 << k) - 1
+        # best[mask] = (total_cost, cur_est, order_tuple)
+        best: Dict[int, tuple] = {
+            1 << i: (0.0, ests[i], (i,)) for i in range(k)
+        }
+        for mask in range(1, full + 1):
+            cur = best.get(mask)
+            if cur is None or mask == full:
+                continue
+            total, cur_est_, order_ = cur
+            placed_ = set(order_)
+            for cand in range(k):
+                bit = 1 << cand
+                if mask & bit:
+                    continue
+                e = step_est(cur_est_, placed_, cand)
+                nt = total + e
+                nm = mask | bit
+                old = best.get(nm)
+                if old is None or nt < old[0]:
+                    best[nm] = (nt, e, order_ + (cand,))
+        got = best.get(full)
+        return (list(got[2]), got[0]) if got else (None, None)
+
+    if k <= 10:
+        order, best_total = dp_order()
+    else:
+        order, best_total = None, None
+    if order is None:
+        for first in range(k):
+            o, total = greedy_from(first)
+            if best_total is None or total < best_total:
+                order, best_total = o, total
     if order == list(range(k)) or \
             best_total >= order_cost(list(range(k))):
         order = list(range(k))  # keep the query's own order, but still
