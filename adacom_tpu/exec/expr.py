@@ -692,12 +692,29 @@ class ExprCompiler:
             return fn
         if name in ("extract_year", "extract_month", "extract_day",
                     "extract_quarter", "extract_week", "extract_dow",
-                    "extract_doy", "extract_epoch"):
+                    "extract_doy", "extract_epoch", "extract_hour",
+                    "extract_minute", "extract_second"):
             part = name.split("_")[1]
+            is_ts = getattr(e.args[0], "ty", None) is not None and \
+                e.args[0].ty.name == "TIMESTAMP"
 
             def fn(cols, args):
                 v, m = afs[0](cols, args)
-                days = v.astype(jnp.int64)
+                if is_ts:
+                    us = v.astype(jnp.int64)
+                    if part == "epoch":
+                        return us // jnp.int64(1_000_000), m
+                    if part == "hour":
+                        return (us // jnp.int64(3_600_000_000)) % jnp.int64(24), m
+                    if part == "minute":
+                        return (us // jnp.int64(60_000_000)) % jnp.int64(60), m
+                    if part == "second":
+                        return (us // jnp.int64(1_000_000)) % jnp.int64(60), m
+                    days = us // jnp.int64(86_400_000_000)
+                else:
+                    days = v.astype(jnp.int64)
+                    if part in ("hour", "minute", "second"):
+                        return jnp.zeros_like(days), m
                 if part == "epoch":
                     return days * jnp.int64(86400), m
                 if part == "dow":
@@ -718,9 +735,34 @@ class ExprCompiler:
         if name == "date_trunc":
             # bound as date_trunc with args = [part literal, date]; the
             # binder folds the part into the name? no — literal arg 0
+            is_ts = getattr(e.args[1], "ty", None) is not None and \
+                e.args[1].ty.name == "TIMESTAMP"
+
             def fn_factory(part):
                 def fn(cols, args):
                     v, m = afs[1](cols, args)
+                    if is_ts:
+                        us = v.astype(jnp.int64)
+                        step = {"second": 1_000_000,
+                                "minute": 60_000_000,
+                                "hour": 3_600_000_000,
+                                "day": 86_400_000_000}.get(part)
+                        if step is not None:
+                            return us - us % jnp.int64(step), m
+                        # month/year/...: truncate in day space, back to us
+                        days = us // jnp.int64(86_400_000_000)
+                        y, mo, d = _civil_from_days(days)
+                        one = jnp.ones_like(mo)
+                        if part == "month":
+                            out = _days_from_civil(y, mo, one)
+                        elif part == "quarter":
+                            qm = ((mo - 1) // 3) * 3 + 1
+                            out = _days_from_civil(y, qm, one)
+                        elif part == "week":
+                            out = days - (days + jnp.int64(3)) % jnp.int64(7)
+                        else:  # year
+                            out = _days_from_civil(y, one, one)
+                        return out * jnp.int64(86_400_000_000), m
                     days = v.astype(jnp.int64)
                     if part == "day":
                         return days.astype(jnp.int32), m

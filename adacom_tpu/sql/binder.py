@@ -274,10 +274,16 @@ class Binder:
                     e = self._bind_order_key(item.expr, plan, scope)
                 except BindError:
                     # bind over the pre-projection input and carry the key as
-                    # a hidden projection column (dropped after the sort)
+                    # a hidden projection column (dropped after the sort);
+                    # aggregate selects expose their post-agg binder so
+                    # ORDER BY COUNT(*) / grouped expressions resolve
                     if not isinstance(plan, b.LogicalProject):
                         raise
-                    be = self.bind_expr(item.expr, input_scope)
+                    pab = getattr(plan, "_post_agg_binder", None)
+                    if pab is not None:
+                        be = pab(item.expr)
+                    else:
+                        be = self.bind_expr(item.expr, input_scope)
                     plan.exprs.append(be)
                     plan.names.append(f"__order_{hidden}")
                     plan.types.append(be.ty)
@@ -373,7 +379,23 @@ class Binder:
                             resolved = e
                             break
                 resolved = resolved if resolved is not None else ge
-                be = self.bind_expr(resolved, scope)
+                try:
+                    be = self.bind_expr(resolved, scope)
+                except BindError:
+                    # alias of a plain column ref (GROUP BY Dst where the
+                    # select list has URL AS Dst): real columns win above,
+                    # but a pure alias must still resolve
+                    if isinstance(ge, ast.ColumnRef) and ge.table is None:
+                        hit = next(
+                            (e for e, alias in sel_items
+                             if alias and alias.lower() == ge.name.lower()),
+                            None)
+                        if hit is None:
+                            raise
+                        resolved = hit
+                        be = self.bind_expr(resolved, scope)
+                    else:
+                        raise
                 group_bexprs.append(be)
                 group_names.append(self._expr_name(resolved))
 
@@ -418,9 +440,11 @@ class Binder:
                     if a.func == agg.func and a.distinct == agg.distinct and \
                        ((a.arg is None and agg.arg is None) or
                             (a.arg is not None and agg.arg is not None and _bexpr_eq(a.arg, agg.arg))):
-                        return b.BAggRef(a.ty, len(group_bexprs) + ai)
+                        return b.BAggRef(a.ty, len(group_bexprs) + ai,
+                                         a.dictionary)
                 aggs.append(agg)
-                return b.BAggRef(agg.ty, len(group_bexprs) + len(aggs) - 1)
+                return b.BAggRef(agg.ty, len(group_bexprs) + len(aggs) - 1,
+                                 agg.dictionary)
             # recurse: rebuild node with post-agg children
             if isinstance(e, ast.BinaryOp):
                 l = bind_post_agg(e.left)
@@ -468,7 +492,8 @@ class Binder:
             names=agg_names, types=agg_types, child=child,
             groups=group_bexprs, aggregates=aggs,
         )
-        agg_node.dicts = [self._expr_dict(g) for g in group_bexprs] + [None] * len(aggs)
+        agg_node.dicts = [self._expr_dict(g) for g in group_bexprs] + \
+            [a.dictionary for a in aggs]
         plan: b.LogicalOp = agg_node
 
         if having_b is not None:
@@ -500,6 +525,21 @@ class Binder:
             names=out_names, types=[e.ty for e in out_exprs], child=plan, exprs=out_exprs
         )
         proj.dicts = [self._expr_dict(e) for e in out_exprs]
+
+        if not wcalls:
+            # let ORDER BY bind aggregate / grouped expressions that are
+            # not select outputs (ClickBench "ORDER BY COUNT(*) DESC"):
+            # new aggregates append to agg_node in place
+            def late_bind(e_ast):
+                n_before = len(aggs)
+                be = bind_post_agg(e_ast)
+                for a in aggs[n_before:]:
+                    agg_node.names.append(a.func)
+                    agg_node.types.append(a.ty)
+                    agg_node.dicts.append(a.dictionary)
+                return be
+
+            proj._post_agg_binder = late_bind
         return proj
 
     def _case_pairs(self, e: ast.Case):
@@ -528,7 +568,30 @@ class Binder:
         if name == "avg":
             return b.BoundAggregate("avg", arg, tt.DOUBLE, e.distinct)
         if name in ("min", "max", "first", "any_value"):
-            return b.BoundAggregate(name if name in ("min", "max") else "first", arg, arg.ty)
+            fn = name if name in ("min", "max") else "first"
+            d = self._expr_dict(arg)
+            if d is None:
+                return b.BoundAggregate(fn, arg, arg.ty)
+            if fn == "first":
+                return b.BoundAggregate(fn, arg, arg.ty, dictionary=d)
+            # MIN/MAX over VARCHAR: dictionary codes are insertion-ordered,
+            # so aggregate over the code's lexicographic RANK and attach a
+            # sorted dictionary — rank IS the output code (reference:
+            # string min/max compare string_t values; here order lives in
+            # the rank permutation)
+            import numpy as np
+
+            from adacom_tpu.storage.table import StringDictionary
+
+            rank = d.rank_array()
+            strs = d.strings_array()
+            sorted_dict = StringDictionary()
+            for s_ in strs[np.argsort(strs, kind="stable")]:
+                sorted_dict.encode_one(str(s_))
+            ranked = b.BDictMap(arg.ty, arg, rank.astype(np.uint32),
+                                sorted_dict)
+            return b.BoundAggregate(fn, ranked, arg.ty,
+                                    dictionary=sorted_dict)
         if name in ("stddev", "stddev_samp", "var_samp", "variance"):
             return b.BoundAggregate(name, arg, tt.DOUBLE)
         if name == "approx_count_distinct":
@@ -906,21 +969,45 @@ class Binder:
                 from adacom_tpu.storage.table import StringDictionary
 
                 vals = [v for _, v in whens] + ([el] if el is not None else [])
-                if not all(isinstance(v, b.BLiteral) and (
-                        v.value is None or isinstance(v.value, str))
-                           for v in vals):
+                col_dicts = []
+                for v in vals:
+                    if isinstance(v, b.BLiteral) and (
+                            v.value is None or isinstance(v.value, str)):
+                        continue
+                    vd = self._expr_dict(v)
+                    if vd is None:
+                        raise BindError(
+                            "string CASE branches must be literals, NULL, "
+                            "or VARCHAR columns")
+                    col_dicts.append(vd)
+                uniq_dicts = list({id(x): x for x in col_dicts}.values())
+                if len(uniq_dicts) > 1:
                     raise BindError(
-                        "string CASE branches must be literals or NULL")
-                d = StringDictionary()
+                        "string CASE branches must share one dictionary")
+                if uniq_dicts:
+                    # column branch(es): extend a COPY of the source
+                    # dictionary with the literal strings — the source's
+                    # codes stay valid, literals get appended codes
+                    # (ClickBench q40: CASE WHEN .. THEN Referer ELSE '')
+                    src = uniq_dicts[0]
+                    d = StringDictionary()
+                    for s_ in src.strings_array():
+                        d.encode_one(str(s_))
+                else:
+                    d = StringDictionary()
 
-                def enc(lit):
-                    if lit is None or lit.value is None:
-                        return lit
-                    if lit.param is not None:
+                def enc(v):
+                    if v is None:
+                        return v
+                    if not isinstance(v, b.BLiteral):
+                        return v  # dict-coded column branch: codes valid in d
+                    if v.value is None:
+                        return v
+                    if v.param is not None:
                         # the string's value is baked into the dictionary:
                         # the plan must key on it
-                        self.structural.add(lit.param)
-                    return b.BLiteral(tt.VARCHAR, d.encode_one(str(lit.value)))
+                        self.structural.add(v.param)
+                    return b.BLiteral(tt.VARCHAR, d.encode_one(str(v.value)))
 
                 whens = [(c, enc(v)) for c, v in whens]
                 el = enc(el)
@@ -1004,7 +1091,8 @@ class Binder:
         "year": "year", "month": "month", "day": "day",
         "quarter": "quarter", "week": "week", "dow": "dow",
         "dayofweek": "dow", "doy": "doy", "dayofyear": "doy",
-        "epoch": "epoch",
+        "epoch": "epoch", "hour": "hour", "minute": "minute",
+        "second": "second",
     }
 
     def _bind_scalar_func(self, name: str, args: List[b.BExpr]) -> b.BExpr:
@@ -1058,7 +1146,9 @@ class Binder:
                                "extract_" + self._EXTRACT_ALIASES[part],
                                args)
         if name == "date_trunc":
-            return b.BFunc(tt.DATE, "date_trunc", args)
+            # TIMESTAMP input keeps micros resolution (minute/hour truncs)
+            out_ty = tt.TIMESTAMP if args[1].ty is tt.TIMESTAMP else tt.DATE
+            return b.BFunc(out_ty, "date_trunc", args)
         if name == "last_day":
             return b.BFunc(tt.DATE, "last_day", args)
         if name in ("date_diff", "datediff"):
@@ -1076,8 +1166,10 @@ class Binder:
                 if not (isinstance(a, b.BLiteral) and a.value is None):
                     ty = tt.common_type(ty, a.ty)
             return b.BFunc(ty, "coalesce", args)
-        if name in ("length", "len", "strpos", "instr", "position", "ascii"):
-            return self._bind_int_string_func(name, args)
+        if name in ("length", "len", "strlen", "strpos", "instr",
+                    "position", "ascii"):
+            return self._bind_int_string_func(
+                "length" if name == "strlen" else name, args)
         if name in ("contains", "starts_with", "prefix", "ends_with",
                     "suffix", "regexp_matches"):
             return self._bind_string_predicate_func(name, args)
@@ -1086,6 +1178,26 @@ class Binder:
                     "rpad", "reverse", "repeat", "split_part", "initcap"):
             return self._bind_string_func(
                 name if name != "substr" else "substring", args)
+        if name == "regexp_replace":
+            # regexp_replace(col, pattern, replacement) with literal
+            # pattern/replacement: evaluates over the dictionary like the
+            # other string functions (ClickBench q29's hostname extraction)
+            import re as _re
+
+            def _lit_str(a):
+                if isinstance(a, b.BLiteral):
+                    if a.param is not None:
+                        self.structural.add(a.param)
+                    return str(a.value)
+                raise BindError("regexp_replace: pattern/replacement must be literals")
+
+            pat = _re.compile(_lit_str(args[1]))
+            rep = _lit_str(args[2]).replace("\\1", "\\g<1>")
+            if self._expr_dict(args[0]) is None:
+                return b.BLiteral(tt.VARCHAR,
+                                  pat.sub(rep, _lit_str(args[0])))
+            return self._derive_dict(args[0],
+                                     lambda s_: pat.sub(rep, s_))
         if name == "date_part":
             # date_part('year', d)
             part = args[0]
@@ -1370,7 +1482,8 @@ class Binder:
         return "expr"
 
     def _expr_dict(self, e: b.BExpr):
-        if isinstance(e, (b.BColumn, b.BDictMap, b.BOuterCol, b.BCodeDict)):
+        if isinstance(e, (b.BColumn, b.BDictMap, b.BOuterCol, b.BCodeDict,
+                          b.BAggRef)):
             return e.dictionary
         if isinstance(e, b.BCase):
             if e.dictionary is not None:
@@ -1456,4 +1569,20 @@ def _bexpr_eq(a: b.BExpr, x: b.BExpr, slots: list | None = None) -> bool:
         return _bexpr_eq(a.operand, x.operand, slots) and \
             list(a.dictionary.strings_array()) == \
             list(x.dictionary.strings_array())
+    if isinstance(a, b.BCase):
+        if (a.else_ is None) != (x.else_ is None) or \
+                len(a.whens) != len(x.whens):
+            return False
+        for (c1, v1), (c2, v2) in zip(a.whens, x.whens):
+            if not (_bexpr_eq(c1, c2, slots) and _bexpr_eq(v1, v2, slots)):
+                return False
+        if a.else_ is not None and not _bexpr_eq(a.else_, x.else_, slots):
+            return False
+        d1, d2 = a.dictionary, x.dictionary
+        if (d1 is None) != (d2 is None):
+            return False
+        if d1 is not None and d1 is not d2 and \
+                list(d1.strings_array()) != list(d2.strings_array()):
+            return False
+        return True
     return False

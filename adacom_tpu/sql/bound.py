@@ -159,6 +159,7 @@ class BSubquery(BExpr):
 class BAggRef(BExpr):
     """Reference to aggregate #i of the enclosing LogicalAggregate."""
     index: int
+    dictionary: Any = None  # set for min/max/first over VARCHAR
 
 
 @D
@@ -182,6 +183,7 @@ class BoundAggregate:
     arg: Optional[BExpr]
     ty: tt.LogicalType
     distinct: bool = False
+    dictionary: Any = None  # output StringDictionary for VARCHAR results
 
 
 # ---------------- logical operators ----------------

@@ -47,7 +47,7 @@ def test_clickbench_query_matches_sqlite(engines, qid):
     con, lite = engines
     sql = cb.QUERIES[qid]
     got = _norm(con.query(sql).fetchall())
-    exp = _norm(lite.execute(sql).fetchall())
+    exp = _norm(lite.execute(cb.ORACLE_QUERIES[qid]).fetchall())
     if "ORDER BY" not in sql:
         got, exp = sorted(got), sorted(exp)
     assert len(got) == len(exp), (len(got), len(exp))
