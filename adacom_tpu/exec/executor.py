@@ -757,6 +757,12 @@ class Executor:
             mat = self._try_pallas_scan_agg(node, get, lits, specs, finishers)
             if mat is not None:
                 return mat
+        if grouped and dense is not None and not holistic and \
+                not any(d for *_x, d in specs):
+            mat = self._try_pallas_grouped_agg(node, get, lits, specs,
+                                               finishers, dense)
+            if mat is not None:
+                return mat
         if (grouped and dense is None) or any(d for *_x, d in specs) \
                 or holistic:
             # non-dense domains, DISTINCT, and holistic aggregates
@@ -969,6 +975,161 @@ class Executor:
                                        dtype=acc)[()])
         out_vals = [f(prim) for f in finishers]
         cols, valids = _agg_finalize_row(node, out_vals)
+        dicts = getattr(node, "dicts", [None] * len(node.names))
+        return Mat(list(node.names), list(node.types), dicts, cols, valids)
+
+    def _try_pallas_grouped_agg(self, node, get: b.LogicalGet, lits,
+                                specs, finishers, dense) -> Optional[Mat]:
+        """Pallas grouped dense-domain aggregate (the reference's
+        perfect-hash aggregate, perfect_aggregate_hashtable.cpp, fused
+        with the succinct decode): SELECT g, sum(v), count(*) GROUP BY g
+        over one packed group column and one packed value column with a
+        small integer domain — one kernel launch per width class."""
+        if not getattr(self.config, "pallas_scan_enabled", False):
+            return None
+        if getattr(self.db, "mesh", None) is not None:
+            return None
+        from adacom_tpu.ops import pallas_scan
+
+        if len(node.groups) != 1:
+            return None
+        g = node.groups[0]
+        if not isinstance(g, b.BColumn):
+            return None
+        mins_d, strides, sizes, domain = dense
+        if domain > pallas_scan.MAX_GROUPS or domain < 1:
+            return None
+        gi = g.index
+        vi = None
+        for kind, arg, acc, distinct in specs:
+            if distinct or kind not in ("count", "count_arg", "sum"):
+                return None
+            if arg is not None:
+                if not (isinstance(arg, b.BColumn)):
+                    return None
+                if vi is None:
+                    vi = arg.index
+                elif arg.index != vi:
+                    return None
+        if vi is None or vi == gi:
+            return None
+        ty_v = get.types[vi]
+        if not ty_v.integer or np.dtype(compute_dtype_of(ty_v)).itemsize != 4:
+            return None
+        if not get.types[gi].integer:
+            return None
+        # filters fold into one value-column range
+        lo = hi = None
+        empty = False
+        for f in get.filters:
+            p = _zonemap_probe(f, lits)
+            if p is None or p[0] != vi:
+                return None
+            _, op, val = p
+            if op == "=":
+                iv = int(np.floor(val))
+                if np.longdouble(iv) != val:
+                    empty = True
+                else:
+                    lo = iv if lo is None else max(lo, iv)
+                    hi = iv if hi is None else min(hi, iv)
+            elif op == "<":
+                b_ = int(np.ceil(val)) - 1
+                hi = b_ if hi is None else min(hi, b_)
+            elif op == "<=":
+                b_ = int(np.floor(val))
+                hi = b_ if hi is None else min(hi, b_)
+            elif op == ">":
+                b_ = int(np.floor(val)) + 1
+                lo = b_ if lo is None else max(lo, b_)
+            elif op == ">=":
+                b_ = int(np.ceil(val))
+                lo = b_ if lo is None else max(lo, b_)
+        if lo is not None and hi is not None and lo > hi:
+            empty = True
+
+        table = get.table
+        table.flush()
+        g_name, v_name = get.column_ids[gi], get.column_ids[vi]
+        candidates = self._zonemap_candidates(get, lits)
+        pairs = []
+        for i in candidates:
+            if table.delete_mask(i) is not None:
+                return None
+            sg = table.segment(g_name, i)
+            sv = table.segment(v_name, i)
+            for s in (sg, sv):
+                if s._validity_np is not None or not s.is_compacted() or \
+                        s.codec not in (None, "succinct"):
+                    return None
+            pairs.append((sg, sv))
+
+        TILE = pallas_scan.TILE_L
+        sums = np.zeros(domain, np.int64)
+        cnts = np.zeros(domain, np.int64)
+        if not empty:
+            classes: Dict[tuple, list] = {}
+            for sg, sv in pairs:
+                gmeta, garr = sg.reader_arrays()
+                vmeta, varr = sv.reader_arrays()
+                for meta in (gmeta, vmeta):
+                    if meta[0] != "packed" or len(meta[1][0]) != 1:
+                        return None
+                (gw,), Lg, _ = gmeta[1]
+                (vw,), Lv, _ = vmeta[1]
+                if gw == 0 or vw == 0 or Lg != Lv:
+                    return None
+                classes.setdefault((gw, vw), []).append(
+                    (garr[0], varr[0], sv.count, sg._packed.min_factor,
+                     sv._packed.min_factor, Lg, id(sg), sg.version,
+                     id(sv), sv.version))
+            cache = getattr(table, "_pool_cache", None)
+            if cache is None:
+                cache = table._pool_cache = {}
+            for (gw, vw), entries in classes.items():
+                L_pad = max(-(-e[5] // TILE) * TILE for e in entries)
+                key = ("pallas_grp", gw, vw, L_pad,
+                       tuple(e[6:] for e in entries))
+                stacked = cache.get(key)
+                if stacked is None:
+                    def pad(wds):
+                        if wds.shape[1] == L_pad:
+                            return wds
+                        return jnp.pad(wds,
+                                       ((0, 0), (0, L_pad - wds.shape[1])))
+                    stacked = (jnp.stack([pad(e[0]) for e in entries]),
+                               jnp.stack([pad(e[1]) for e in entries]))
+                    if len(cache) > 8:
+                        cache.clear()
+                    cache[key] = stacked
+                gstk, vstk = stacked
+                counts = np.asarray([e[2] for e in entries], np.int64)
+                # kernel group ids are DOMAIN slots: code + (gmin - base)
+                gmins = np.asarray([e[3] - mins_d[0] for e in entries],
+                                   np.int64)
+                vmins = np.asarray([e[4] for e in entries], np.int64)
+                lanes = np.asarray([e[5] for e in entries], np.int64)
+                out = pallas_scan.grouped_scan_table(
+                    gstk, vstk, counts, gmins, vmins, domain, lo, hi,
+                    lanes=lanes)
+                sums += out[:, 0]
+                cnts += out[:, 1]
+
+        present = cnts > 0
+        gidx = np.nonzero(present)[0]
+        prim = []
+        for kind, arg, acc, _d in specs:
+            if kind in ("count", "count_arg"):
+                prim.append(cnts[gidx])
+            else:  # sum
+                prim.append(sums[gidx].astype(acc))
+        agg_cols = [f(prim) for f in finishers]
+        cols: List[np.ndarray] = [
+            (gidx + mins_d[0]).astype(compute_dtype_of(g.ty))]
+        valids: List[Optional[np.ndarray]] = [None]
+        for a, v in zip(node.aggregates, agg_cols):
+            cols.append(np.asarray(v))
+            valids.append(None)
         dicts = getattr(node, "dicts", [None] * len(node.names))
         return Mat(list(node.names), list(node.types), dicts, cols, valids)
 

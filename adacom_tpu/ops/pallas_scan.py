@@ -377,3 +377,209 @@ def scan_sum_count(words: jax.Array, min_factor: int, count: int,
     s, c, _, _ = scan_table(words[None], [count], [int(min_factor)], lo, hi,
                             minmax=False)
     return s, c
+
+
+# ======================================================================
+# grouped dense-domain scan-aggregate (the reference's hot analytics
+# loop: PhysicalHashAggregate's perfect-hash path over a small integer
+# group domain, perfect_aggregate_hashtable.cpp — here fused with the
+# succinct decode: group codes and value codes bit-unpack, the value
+# accumulates into per-group lane partials, all in one VMEM pass)
+# ======================================================================
+
+MAX_GROUPS = 16  # compile-time unroll bound; larger domains ride XLA
+
+
+def grouped_supported(n_groups: int, gw: int, vw: int) -> bool:
+    return 1 <= n_groups <= MAX_GROUPS and 1 <= gw <= 32 and 1 <= vw <= 32
+
+
+@functools.lru_cache(maxsize=64)
+def _build_grouped_scan(gw: int, vw: int, lane8: int, n_seg: int,
+                        seg_blk: int, n_groups: int, pred: bool):
+    """pallas_call: (n_seg, gw, 8, lane8) group words + (n_seg, vw, 8,
+    lane8) value words + (seg_blk, 8) scalars -> per-segment
+    (n_groups, 3, 8, 128) u32 partials [sum_lo, sum_hi, cnt].
+
+    scalars row: [count, lo_code, hi_code, l_orig, gmin, 0...] — gmin is
+    the segment's group-plane FOR minimum so group ids are GLOBAL.
+    The value predicate (lo/hi, code space) matches scan_table's."""
+    if not grouped_supported(n_groups, gw, vw):
+        raise ValueError("unsupported grouped scan shape")
+    gmask_val = (1 << gw) - 1 if gw < 32 else U32_MAX
+    vmask_val = (1 << vw) - 1 if vw < 32 else U32_MAX
+    fold_f = max(1, lane8 // 128)
+    if bitpack.ROWS * 0xFFFF * fold_f >= (1 << 32):
+        raise ValueError(f"segment too wide for u32 partials: lane8={lane8}")
+
+    def kernel(scal_ref, gwords_ref, vwords_ref, out_ref):
+        gmask = _U32(gmask_val)
+        vmask = _U32(vmask_val)
+        for s in range(seg_blk):
+            count = scal_ref[s, 0].astype(_I32)
+            l_orig = scal_ref[s, 3].astype(_I32)
+            gmin = scal_ref[s, 4].astype(_I32)
+            if pred:
+                lo = scal_ref[s, 1]
+                span_c = scal_ref[s, 2] - lo
+            gm = gwords_ref[s]
+            vm = vwords_ref[s]
+            ia = jax.lax.broadcasted_iota(_I32, (8, lane8), 0)
+            ib = jax.lax.broadcasted_iota(_I32, (8, lane8), 1)
+            lane_g = ia * np.int32(lane8) + ib
+            zero = jnp.zeros((n_groups, 8, lane8), _U32)
+            one1 = jnp.full((1, 8, lane8), 1, _U32)
+            acc_lo = zero
+            acc_hi = zero
+            cnt = zero
+            # group-id plane for the broadcast compare: (G, 1, 1) iota
+            gids = jax.lax.broadcasted_iota(_I32, (n_groups, 1, 1), 0)
+            for r in range(bitpack.ROWS):
+                gp = r * gw
+                gk, goff = gp >> 5, gp & 31
+                gcode = gm[gk]
+                if goff:
+                    gcode = gcode >> _U32(goff)
+                if goff + gw > 32:
+                    gcode = gcode | (gm[gk + 1] << _U32(32 - goff))
+                grp = (gcode & gmask).astype(_I32) + gmin
+                vp = r * vw
+                vk, voff = vp >> 5, vp & 31
+                vcode = vm[vk]
+                if voff:
+                    vcode = vcode >> _U32(voff)
+                if voff + vw > 32:
+                    vcode = vcode | (vm[vk + 1] << _U32(32 - voff))
+                vcode = vcode & vmask
+                thr = jnp.minimum(count - np.int32(r) * l_orig, l_orig)
+                keep = lane_g < thr
+                if pred:
+                    keep = keep & ((vcode - lo) <= span_c)
+                # ONE broadcast select per row: (G,8,L/8) mask from the
+                # (8,L/8) group ids vs the (G,1,1) iota
+                m = keep[None, :, :] & (grp[None, :, :] == gids)
+                acc_lo = acc_lo + jnp.where(m, (vcode & _U32(0xFFFF))[None],
+                                            zero)
+                acc_hi = acc_hi + jnp.where(m, (vcode >> _U32(16))[None],
+                                            zero)
+                cnt = cnt + jnp.where(m, one1, zero)
+
+            def fold(x):  # (G, 8, lane8) -> (G, 8, 128)
+                while x.shape[2] > 128:
+                    h = x.shape[2] // 2
+                    x = x[:, :, :h] + x[:, :, h:]
+                return x
+
+            # (G, 3, 8, 128)
+            out_ref[s] = jnp.stack(
+                [fold(acc_lo), fold(acc_hi), fold(cnt)], axis=1)
+
+    z = np.int32(0)
+    n_chunks = n_seg // seg_blk
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((seg_blk, 8), lambda c: (c, z),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((seg_blk, gw, 8, lane8), lambda c: (c, z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_blk, vw, 8, lane8), lambda c: (c, z, z, z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((seg_blk, n_groups, 3, 8, 128),
+                               lambda c: (c, z, z, z, z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_seg, n_groups, 3, 8, 128), _U32),
+        interpret=_interpret(),
+    )
+    return call
+
+
+@functools.lru_cache(maxsize=64)
+def _build_grouped_runner(gw: int, vw: int, lane8: int, n_seg: int,
+                          seg_blk: int, n_groups: int, pred: bool):
+    call = _build_grouped_scan(gw, vw, lane8, n_seg, seg_blk, n_groups,
+                               pred)
+
+    @jax.jit
+    def run(gwords, vwords, scalars, vmins):
+        """-> (n_groups, 2) int64 [sum, count] in the VALUE domain."""
+        raw = call(scalars, gwords, vwords)  # (n_seg, G, 3, 8, 128)
+        i64 = jnp.int64
+        s_lo = raw[:, :, 0].astype(i64).sum(axis=(2, 3))  # (n_seg, G)
+        s_hi = raw[:, :, 1].astype(i64).sum(axis=(2, 3))
+        cnt = raw[:, :, 2].astype(i64).sum(axis=(2, 3))
+        code_sum = s_lo + (s_hi << 16)
+        seg_sum = code_sum + cnt * vmins[:, None]
+        return jnp.stack([seg_sum.sum(axis=0), cnt.sum(axis=0)], axis=1)
+
+    return run
+
+
+def grouped_scan_table(gwords, vwords, counts, gmins, vmins, n_groups,
+                       lo=None, hi=None, lanes=None):
+    """Fused grouped scan: per-group (sum, count) of the value column over
+    a dense group domain [0, n_groups).
+
+    gwords/vwords: (n_seg, gw|vw, n_lanes) packed planes (group ids and
+    values share the segment layout); gmins/vmins: per-segment FOR minima
+    (group ids are gcode+gmin — callers pass group-domain-rebased minima);
+    lo/hi: optional VALUE-domain predicate range.
+    Returns (n_groups, 2) int64 [sum, count] numpy array."""
+    n_seg = int(gwords.shape[0])
+    gw, vw = int(gwords.shape[1]), int(vwords.shape[1])
+    n_lanes = int(gwords.shape[2])
+    assert int(vwords.shape[2]) == n_lanes
+    counts = np.asarray(counts, dtype=np.int64)
+    gmins64 = np.asarray(gmins, dtype=np.int64)
+    vmins64 = np.asarray(vmins, dtype=np.int64)
+    lanes_arr = (np.full(n_seg, n_lanes, np.int64) if lanes is None
+                 else np.asarray(lanes, dtype=np.int64))
+    if n_lanes % TILE_L:
+        padl = TILE_L - n_lanes % TILE_L
+        gwords = jnp.pad(gwords, ((0, 0), (0, 0), (0, padl)))
+        vwords = jnp.pad(vwords, ((0, 0), (0, 0), (0, padl)))
+        n_lanes += padl
+    lane8 = n_lanes // 8
+    pred = not (lo is None and hi is None)
+    scal = np.zeros((n_seg, 8), dtype=np.uint32)
+    scal[:, 0] = counts.astype(np.uint32)
+    scal[:, 3] = lanes_arr.astype(np.uint32)
+    scal[:, 4] = gmins64.astype(np.int32).view(np.uint32)
+    lo_v = -(1 << 62) if lo is None else int(lo)
+    hi_v = (1 << 62) if hi is None else int(hi)
+    lo_c = np.clip(lo_v - vmins64, 0, U32_MAX)
+    hi_c = np.clip(hi_v - vmins64, -1, U32_MAX)
+    scal[:, 1] = lo_c.astype(np.uint32)
+    scal[:, 2] = np.where(hi_c < 0, 0, hi_c).astype(np.uint32)
+    empty = hi_c < lo_c
+    if empty.any():
+        scal[empty, 0] = 0
+        scal[empty, 1] = 0
+        scal[empty, 2] = 0
+    gwords = gwords.reshape(n_seg, gw, 8, lane8)
+    vwords = vwords.reshape(n_seg, vw, 8, lane8)
+
+    outs = []
+    off = 0
+    while off < n_seg:
+        take = min(CHUNK_SEGS, n_seg - off)
+        padded = 1 << (take - 1).bit_length()
+        blk = _seg_blk_for(gw + vw, lane8, padded)
+        g_c, v_c = gwords[off:off + take], vwords[off:off + take]
+        s_c = scal[off:off + take]
+        m_c = vmins64[off:off + take]
+        if padded != take:
+            padn = padded - take
+            g_c = jnp.pad(g_c, ((0, padn), (0, 0), (0, 0), (0, 0)))
+            v_c = jnp.pad(v_c, ((0, padn), (0, 0), (0, 0), (0, 0)))
+            s_c = np.pad(s_c, ((0, padn), (0, 0)))
+            m_c = np.pad(m_c, (0, padn))
+        run = _build_grouped_runner(gw, vw, lane8, padded, blk,
+                                    int(n_groups), pred)
+        outs.append(run(g_c, v_c, jnp.asarray(s_c), jnp.asarray(m_c)))
+        off += take
+    if len(outs) == 1:
+        return np.asarray(outs[0])
+    return np.asarray(sum(outs[1:], outs[0]))
