@@ -108,9 +108,10 @@ class Catalog:
                 raise CatalogException(f"index {name!r} already exists")
             table = self.get_table(table_name)
             col = column.lower()
-            if col not in table.columns:
-                raise CatalogException(
-                    f"column {column!r} not in table {table_name!r}")
+            for part in col.split(","):
+                if part.strip() not in table.columns:
+                    raise CatalogException(
+                        f"column {part.strip()!r} not in table {table_name!r}")
             idx = SortedIndex(key, table, col, unique)
             idx.build()  # raises ConstraintViolation on existing duplicates
             self.indexes[key] = idx

@@ -81,6 +81,11 @@ class DBConfig:
     # scans are unaffected (they stay on the TPU). Disable to force device
     # materialization.
     host_materialize: bool = True
+    # Index join: when the probe side has at most this many rows and the
+    # build side is an indexed base table at least 4x larger, probe the
+    # index instead of scanning (reference physical_index_join.cpp).
+    # 0 disables.
+    index_join_max_probe: int = 8192
     # Compact cold VARCHAR dictionaries with the native FSST-class codec
     # when segments compact (reference fsst.cpp; adopted only when the
     # encoding actually shrinks the blob).
@@ -145,7 +150,8 @@ class DBConfig:
                 raise ValueError(f"unknown compression codec: {v}")
             self.compression_codec = v
         elif key in ("host_scan_segment_limit", "device_join_rows",
-                     "device_sort_rows", "distributed_join_rows"):
+                     "device_sort_rows", "distributed_join_rows",
+                     "index_join_max_probe"):
             setattr(self, key, int(value))
         elif key == "segment_rows":
             n = int(value)

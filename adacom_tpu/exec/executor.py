@@ -1376,8 +1376,22 @@ class Executor:
     # ==================================================================
 
     def _exec_join(self, node: b.LogicalJoin, lits) -> Mat:
-        left = self._exec(node.left, lits)
-        right = self._exec(node.right, lits)
+        left = right = None
+        if node.conditions:
+            # index join: probe the indexed base table with the other
+            # side's keys instead of scanning it (whichever side the
+            # build-side swap left it on)
+            if self._ij_eligible(node, "right"):
+                left = self._exec(node.left, lits)
+                right = self._index_join_reduce(node, left, "right", lits)
+            elif node.join_type == "inner" and \
+                    self._ij_eligible(node, "left"):
+                right = self._exec(node.right, lits)
+                left = self._index_join_reduce(node, right, "left", lits)
+        if left is None:
+            left = self._exec(node.left, lits)
+        if right is None:
+            right = self._exec(node.right, lits)
         jt = node.join_type
 
         if jt in ("semi", "anti"):
@@ -1507,6 +1521,98 @@ class Executor:
             getattr(node, "dicts", [None] * len(node.names)),
             lcols + rcols, lvalids + rvalids,
         )
+
+    def _ij_eligible(self, node: b.LogicalJoin, side: str) -> bool:
+        """Static index-join eligibility for `side` (reduced without row
+        counts — those are checked in _index_join_reduce)."""
+        if not getattr(self.config, "index_join_max_probe", 0):
+            return False
+        if side == "left" and node.join_type != "inner":
+            return False  # reducing the preserved side needs bookkeeping
+        if side == "right" and node.join_type not in ("inner", "semi"):
+            return False
+        get = node.right if side == "right" else node.left
+        if not isinstance(get, b.LogicalGet) or get.filters:
+            return False
+        cols = []
+        for le, re_ in node.conditions:
+            key = re_ if side == "right" else le
+            if not isinstance(key, b.BColumn):
+                return False
+            cols.append(get.column_ids[key.index])
+        return get.table.index_on_columns(cols) is not None
+
+    def _index_join_reduce(self, node: b.LogicalJoin, probe_mat: Mat,
+                           side: str, lits) -> Optional[Mat]:
+        """Index join (reference physical_index_join.cpp / plan_index_join):
+        look the probe side's join keys up in the other side's index and
+        materialize ONLY matching rows — the indexed table is never
+        scanned. Returns the reduced Mat for `side`, or None (caller
+        falls back to the full scan). The reduced side then rides the
+        normal pair-expansion join, so duplicates and residuals keep
+        their semantics."""
+        get = node.right if side == "right" else node.left
+        limit = getattr(self.config, "index_join_max_probe", 8192)
+        if probe_mat.nrows > limit or probe_mat.nrows == 0:
+            return None
+        if get.table.row_count() < 4 * probe_mat.nrows:
+            return None
+        cols = []
+        for le, re_ in node.conditions:
+            key = re_ if side == "right" else le
+            cols.append(get.column_ids[key.index])
+        idx = get.table.index_on_columns(cols)
+        if idx is None:
+            return None
+        probes = []
+        for le, re_ in node.conditions:
+            pe = le if side == "right" else re_
+            (lv, lm), = self._eval_on_mat([pe], probe_mat, lits)
+            lv = np.asarray(lv)
+            if lm is not None:
+                lv = np.where(np.asarray(lm), lv, _null_key(lv.dtype))
+            probes.append(lv)
+        get.table.flush()
+        hits = idx.lookup_eq_batch(probes if idx.composite else probes[0])
+        seg_rows = []
+        arrays: List[List[np.ndarray]] = [[] for _ in get.column_ids]
+        valids: List[List[Optional[np.ndarray]]] = [[] for _ in get.column_ids]
+        any_valid = [False] * len(get.column_ids)
+        for seg_idx, rows in hits:
+            dm = get.table.delete_mask(seg_idx)
+            if dm is not None:
+                inb = rows < len(dm)
+                keep = np.ones(len(rows), dtype=bool)
+                keep[inb] = ~dm[rows[inb]]
+                rows = rows[keep]
+            for ci, cname in enumerate(get.column_ids):
+                seg = get.table.segment(cname, seg_idx)
+                hv = seg.host_plain()
+                arrays[ci].append(hv[rows])
+                v = seg.host_validity()
+                if v is not None:
+                    any_valid[ci] = True
+                valids[ci].append(None if v is None else v[rows])
+            seg_rows.append(len(rows))
+        cols_np = [
+            np.concatenate(a) if a else
+            np.empty(0, compute_dtype_of(get.types[ci]))
+            for ci, a in enumerate(arrays)
+        ]
+        valids_np: List[Optional[np.ndarray]] = []
+        for ci in range(len(get.column_ids)):
+            if not any_valid[ci]:
+                valids_np.append(None)
+            else:
+                valids_np.append(np.concatenate([
+                    v if v is not None else np.ones(n, bool)
+                    for v, n in zip(valids[ci], seg_rows)
+                ]))
+        dicts = getattr(get, "dicts", [None] * len(get.names))
+        self.db.dist_stats["index_join"] = \
+            self.db.dist_stats.get("index_join", 0) + 1
+        return Mat(list(get.names), list(get.types), list(dicts),
+                   cols_np, valids_np)
 
     def _residual_mask(self, node, left: Mat, right: Mat, li, ri, lits):
         """Evaluate the join residual over candidate pairs (li, ri); returns

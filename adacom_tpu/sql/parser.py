@@ -230,9 +230,13 @@ class _Parser:
         self.expect_kw("ON")
         table = self.ident()
         self.expect_op("(")
-        column = self.ident()
+        cols = [self.ident()]
+        while self.accept_op(","):
+            cols.append(self.ident())
         self.expect_op(")")
-        return ast.CreateIndexStmt(name, table, column, unique, if_not_exists)
+        # composite keys travel as a comma-joined list (art.cpp:929)
+        return ast.CreateIndexStmt(name, table, ",".join(cols), unique,
+                                   if_not_exists)
 
     def _skip_constraint(self):
         depth = 0

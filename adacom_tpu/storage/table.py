@@ -390,11 +390,20 @@ class Table:
         self._has_deletes = True
 
     def index_on(self, col: str):
-        """First index over `col`, or None (optimizer index-scan rewrite
-        probe, reference table_scan.cpp:388)."""
+        """First single-column index over `col`, or None (optimizer
+        index-scan rewrite probe, reference table_scan.cpp:388)."""
         cl = col.lower()
         for idx in self.indexes:
             if idx.column == cl:
+                return idx
+        return None
+
+    def index_on_columns(self, cols) -> object:
+        """Index whose key columns are exactly `cols` (any order), or
+        None — serves composite equality probes and index joins."""
+        want = frozenset(c.lower() for c in cols)
+        for idx in self.indexes:
+            if frozenset(idx.columns) == want:
                 return idx
         return None
 
