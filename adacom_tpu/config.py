@@ -81,6 +81,10 @@ class DBConfig:
     # scans are unaffected (they stay on the TPU). Disable to force device
     # materialization.
     host_materialize: bool = True
+    # Pipelined probe execution: base-table probe sides stream morsel-by-
+    # morsel through a persistent native hash table instead of fully
+    # materializing (reference pipeline_executor.cpp push loop).
+    streaming_join_enabled: bool = True
     # Index join: when the probe side has at most this many rows and the
     # build side is an indexed base table at least 4x larger, probe the
     # index instead of scanning (reference physical_index_join.cpp).
@@ -117,6 +121,7 @@ class DBConfig:
             "host_materialize",
             "pallas_scan_enabled",
             "fsst_dictionary_enabled",
+            "streaming_join_enabled",
         }
     )
 

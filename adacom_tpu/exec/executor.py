@@ -1388,6 +1388,17 @@ class Executor:
                     self._ij_eligible(node, "left"):
                 right = self._exec(node.right, lits)
                 left = self._index_join_reduce(node, right, "left", lits)
+        if left is None and node.conditions and node.residual is None and \
+                node.join_type in ("inner", "semi", "anti") and \
+                isinstance(node.left, b.LogicalGet):
+            # morsel-streaming probe pipeline (reference PipelineExecutor:
+            # source -> operators -> sink in chunks): build once from the
+            # right side, stream the left base table segment-by-segment
+            if right is None:
+                right = self._exec(node.right, lits)
+            mat = self._exec_join_streaming(node, right, lits)
+            if mat is not None:
+                return mat
         if left is None:
             left = self._exec(node.left, lits)
         if right is None:
@@ -1519,6 +1530,137 @@ class Executor:
         return Mat(
             list(node.names), list(node.types),
             getattr(node, "dicts", [None] * len(node.names)),
+            lcols + rcols, lvalids + rvalids,
+        )
+
+    def _exec_join_streaming(self, node: b.LogicalJoin, right: Mat,
+                             lits) -> Optional[Mat]:
+        """Pipelined hash-join probe (reference pipeline_executor.cpp:38
+        push loop + JoinHashTable::Probe): the build side materialized
+        once into a persistent native hash table, the probe side streamed
+        morsel-by-morsel (one segment per task on the worker pool) — the
+        probe table's full column set is never materialized at once.
+        Inner/semi/anti without residuals; returns None to fall back."""
+        if not getattr(self.config, "streaming_join_enabled", True):
+            return None
+        from adacom_tpu import native as _native
+
+        if not _native.available():
+            return None
+        get = node.left
+        jt = node.join_type
+        table = get.table
+        table.flush()
+        # build-side keys, hashed once
+        rkeys = []
+        for _le, re_ in node.conditions:
+            (rv, rm), = self._eval_on_mat([re_], right, lits)
+            rk = np.asarray(rv)
+            if rm is not None:
+                rk = np.where(np.asarray(rm), rk, _null_key(rk.dtype))
+            rkeys.append(rk)
+        exact = (len(rkeys) == 1 and rkeys[0].dtype.kind in "iu"
+                 and rkeys[0].dtype != np.uint64)
+        rk64 = (np.ascontiguousarray(rkeys[0], dtype=np.int64) if exact
+                else _row_keys(rkeys).view(np.int64))
+        try:
+            ht = _native.JoinTable(rk64)
+        except RuntimeError:
+            return None
+        filt = self._compiled_filter(get)
+        params = filt.prep_args(lits) if filt is not None else ()
+        candidates = self._zonemap_candidates(get, lits)
+        lexprs = [le for le, _re in node.conditions]
+        dicts = getattr(get, "dicts", [None] * len(get.names))
+
+        def probe_morsel(i):
+            segs = [table.segment(c, i) for c in get.column_ids]
+            cols = [(s.host_plain(), s.host_validity()) for s in segs]
+            n = segs[0].count if segs else 0
+            mask = None
+            if filt is not None:
+                try:
+                    fv, fm = filt.fn(cols, params)
+                except Exception:
+                    raise _FallbackToDevice()
+                if not isinstance(fv, np.ndarray):
+                    raise _FallbackToDevice()
+                mask = fv if fm is None else (fv & fm)
+            dm = table.delete_mask(i)
+            if dm is not None:
+                dmx = np.zeros(n, dtype=bool)
+                dmx[: min(len(dm), n)] = dm[:n]
+                mask = ~dmx if mask is None else (mask & ~dmx)
+            rows = np.nonzero(mask)[0] if mask is not None else None
+            chunk = Mat(
+                list(get.names), list(get.types), list(dicts),
+                [c[rows] if rows is not None else c for c, _v in cols],
+                [None if v is None else
+                 (v[rows] if rows is not None else v) for _c, v in cols],
+            )
+            lkeys = []
+            for le in lexprs:
+                (lv, lm), = self._eval_on_mat([le], chunk, lits)
+                lk = np.asarray(lv)
+                if lm is not None:
+                    lk = np.where(np.asarray(lm), lk, _null_key(lk.dtype))
+                lkeys.append(lk)
+            lk64 = (np.ascontiguousarray(lkeys[0], dtype=np.int64) if exact
+                    else _row_keys(lkeys).view(np.int64))
+            li, ri = ht.probe(lk64)
+            if not exact and len(li):
+                ok = np.ones(len(li), dtype=bool)
+                for lcol, rcol in zip(lkeys, rkeys):
+                    ok &= lcol[li].astype(np.int64) == \
+                        rcol[ri].astype(np.int64)
+                li, ri = li[ok], ri[ok]
+            if jt == "inner":
+                out = chunk.take(li)
+                return out, ri
+            matched = np.zeros(chunk.nrows, dtype=bool)
+            matched[li] = True
+            keep = np.nonzero(matched if jt == "semi" else ~matched)[0]
+            return chunk.take(keep), None
+
+        from adacom_tpu.parallel.scheduler import TaskScheduler
+
+        try:
+            results = TaskScheduler.get().map_segments(
+                probe_morsel, candidates, threads=self.config.threads)
+        except _FallbackToDevice:
+            ht.close()
+            return None
+        finally:
+            ht.close()
+        self.db.dist_stats["streamed_join"] = \
+            self.db.dist_stats.get("streamed_join", 0) + 1
+        lmats = [m for m, _ri in results]
+        lcols = [
+            np.concatenate([m.cols[ci] for m in lmats]) if lmats else
+            np.empty(0, compute_dtype_of(get.types[ci]))
+            for ci in range(len(get.names))
+        ]
+        lvalids: List[Optional[np.ndarray]] = []
+        for ci in range(len(get.names)):
+            if any(m.valids[ci] is not None for m in lmats):
+                lvalids.append(np.concatenate([
+                    m.valids[ci] if m.valids[ci] is not None
+                    else np.ones(m.nrows, bool) for m in lmats]))
+            else:
+                lvalids.append(None)
+        if jt in ("semi", "anti"):
+            out = Mat(list(node.names), list(node.types),
+                      list(getattr(node, "dicts", [None] * len(node.names))),
+                      lcols, lvalids)
+            return out
+        ri_all = (np.concatenate([ri for _m, ri in results])
+                  if results else np.zeros(0, np.int64))
+        rcols = [_gather_rows(c, ri_all) for c in right.cols]
+        rvalids = [None if v is None else _gather_rows(v, ri_all)
+                   for v in right.valids]
+        return Mat(
+            list(node.names), list(node.types),
+            list(getattr(node, "dicts", [None] * len(node.names))),
             lcols + rcols, lvalids + rvalids,
         )
 

@@ -258,6 +258,46 @@ def zipf_sample(n: int, q: float, seed: int, size: int) -> np.ndarray:
     return out
 
 
+class JoinTable:
+    """Persistent native chained-bucket hash table (reference
+    JoinHashTable): build once, probe per morsel — the handle the
+    streaming pipeline keeps across probe chunks."""
+
+    def __init__(self, build_keys: np.ndarray):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._build = np.ascontiguousarray(build_keys, dtype=np.int64)
+        self._ht = self._lib.adacom_join_build_i64(self._build,
+                                                   len(self._build))
+
+    def probe(self, probe_keys: np.ndarray):
+        """-> (probe_idx, build_idx) matching pairs for this chunk."""
+        probe = np.ascontiguousarray(probe_keys, dtype=np.int64)
+        counts = np.empty(len(probe), dtype=np.int64)
+        self._lib.adacom_join_count_i64(self._ht, probe, len(probe), counts)
+        total = int(counts.sum())
+        offsets = np.zeros(len(probe), dtype=np.int64)
+        if len(probe):
+            np.cumsum(counts[:-1], out=offsets[1:])
+        li = np.empty(total, dtype=np.int64)
+        ri = np.empty(total, dtype=np.int64)
+        self._lib.adacom_join_emit_i64(self._ht, probe, len(probe),
+                                       offsets, li, ri)
+        return li, ri
+
+    def close(self):
+        if getattr(self, "_ht", None):
+            self._lib.adacom_join_free(self._ht)
+            self._ht = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def hash_join_i64(build_keys: np.ndarray, probe_keys: np.ndarray):
     """All matching (probe_idx, build_idx) pairs for i64 equi-keys via a
     chained-bucket hash table with threaded probes (reference

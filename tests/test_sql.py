@@ -328,3 +328,44 @@ def test_exists_uncorrelated(engines):
 def test_in_subquery_in_or_context(engines):
     check(engines,
           "SELECT count(*) FROM t WHERE a = 999 OR a IN (SELECT k FROM u WHERE k < 5)")
+
+
+def test_streaming_join_pipeline_engages():
+    """Base-table probe sides stream morsel-by-morsel through the native
+    hash table (pipeline_executor.cpp parity); dist_stats proves it."""
+    import numpy as np
+
+    import adacom_tpu as at
+    from adacom_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    db = at.Database(config=at.DBConfig(segment_rows=2048))
+    con = db.connect()
+    con.query("CREATE TABLE f(k INTEGER, v BIGINT)")
+    rng = np.random.default_rng(17)
+    k = rng.integers(0, 3000, 50_000).astype(np.int32)
+    v = rng.integers(0, 10_000, 50_000)
+    app = con.appender("f")
+    app.append_columns({"k": k, "v": v})
+    app.close()
+    con.query("CREATE TABLE d(k INTEGER, grp INTEGER)")
+    dk = np.arange(3000, dtype=np.int32)
+    dg = (dk % 7).astype(np.int32)
+    app = con.appender("d")
+    app.append_columns({"k": dk, "grp": dg})
+    app.close()
+    r = con.query(
+        "SELECT d.grp, sum(f.v), count(*) FROM f JOIN d ON f.k = d.k "
+        "WHERE f.v >= 100 GROUP BY d.grp ORDER BY d.grp").fetchall()
+    assert db.dist_stats.get("streamed_join", 0) > 0, \
+        "streaming join did not engage"
+    m = v >= 100
+    for row in r:
+        g = int(row[0])
+        sel = m & ((k % 7) == g)
+        assert int(row[2]) == int(sel.sum())
+        assert int(row[1]) == int(v[sel].sum())
+    db.close()
