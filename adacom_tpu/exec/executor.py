@@ -235,9 +235,24 @@ class Executor:
         return cc
 
     def _zonemap_candidates(self, get: b.LogicalGet, lits) -> List[int]:
-        """Vectorized segment skipping from (col op literal) conjuncts."""
+        """Vectorized segment skipping from (col op literal) conjuncts.
+        Also the MVCC visibility gate: while another connection's
+        transaction writes this table, only segments below the committed
+        watermark are candidates (the writer's own appends create fresh
+        segments, so the watermark lies on a segment boundary)."""
         table = get.table
         n_seg = table.segment_count()
+        limit, _dels = table.snapshot_for(getattr(self, "conn_token", None))
+        if limit is not None:
+            total = 0
+            vis = 0
+            col0 = table.columns[table.column_order[0]]
+            for seg in col0.segments:
+                if total + seg.count > limit:
+                    break
+                total += seg.count
+                vis += 1
+            n_seg = vis
         keep = np.ones(n_seg, dtype=bool)
         for f in get.filters:
             probe = _zonemap_probe(f, lits)
@@ -247,12 +262,22 @@ class Executor:
             col_name = get.column_ids[col_idx]
             mins, maxs = self._table_zonemaps(table, col_name)
             if op == "=":
-                keep &= (mins <= val) & (val <= maxs)
+                keep &= (mins[:n_seg] <= val) & (val <= maxs[:n_seg])
             elif op in ("<", "<="):
-                keep &= mins <= val if op == "<=" else mins < val
+                keep &= mins[:n_seg] <= val if op == "<=" \
+                    else mins[:n_seg] < val
             elif op in (">", ">="):
-                keep &= maxs >= val if op == ">=" else maxs > val
+                keep &= maxs[:n_seg] >= val if op == ">=" \
+                    else maxs[:n_seg] > val
         return [i for i in range(n_seg) if keep[i]]
+
+    def _vis_delete_mask(self, table, i: int):
+        """Snapshot-aware delete mask: readers see the committed masks
+        while a write transaction is in flight on this table."""
+        limit, dels = table.snapshot_for(getattr(self, "conn_token", None))
+        if dels is not None:
+            return dels.get(i)
+        return table.delete_mask(i)
 
     def _table_zonemaps(self, table, col_name):
         col = table.columns[col_name]
@@ -294,7 +319,7 @@ class Executor:
                     meta = (meta, None)
                 metas.append(meta)
                 arrays.extend(arrs)
-            del_mask = table.delete_mask(i)
+            del_mask = self._vis_delete_mask(table, i)
             has_del = del_mask is not None
             n_pad = bitpack.ROWS * bitpack.lanes_for(count)
             key = (tuple(metas), n_pad, has_del, filt is not None)
@@ -361,7 +386,7 @@ class Executor:
                 hv = s.host_plain()
                 hvv = s.host_validity()
                 cols.append((hv, hvv))
-            dm = table.delete_mask(i)
+            dm = self._vis_delete_mask(table, i)
             rows = None
             if index_hits is not None:
                 rows = index_hits[i]
@@ -899,7 +924,7 @@ class Executor:
         candidates = self._zonemap_candidates(get, lits)
         segs = []
         for i in candidates:
-            if table.delete_mask(i) is not None:
+            if self._vis_delete_mask(table, i) is not None:
                 return None
             s = table.segment(col_name, i)
             if s._validity_np is not None or not s.is_compacted() or \
@@ -1054,7 +1079,7 @@ class Executor:
         candidates = self._zonemap_candidates(get, lits)
         pairs = []
         for i in candidates:
-            if table.delete_mask(i) is not None:
+            if self._vis_delete_mask(table, i) is not None:
                 return None
             sg = table.segment(g_name, i)
             sv = table.segment(v_name, i)
@@ -1162,7 +1187,7 @@ class Executor:
                     meta = (meta, None)
                 metas.append(meta)
                 arrays.extend(arrs)
-            del_mask = table.delete_mask(i)
+            del_mask = self._vis_delete_mask(table, i)
             has_del = del_mask is not None
             n_pad = bitpack.ROWS * bitpack.lanes_for(count)
             key = (tuple(metas), n_pad, has_del)
@@ -1543,6 +1568,8 @@ class Executor:
         Inner/semi/anti without residuals; returns None to fall back."""
         if not getattr(self.config, "streaming_join_enabled", True):
             return None
+        if getattr(self.db, "mesh", None) is not None:
+            return None  # mesh mode: large joins shuffle over all_to_all
         from adacom_tpu import native as _native
 
         if not _native.available():
@@ -1586,7 +1613,7 @@ class Executor:
                 if not isinstance(fv, np.ndarray):
                     raise _FallbackToDevice()
                 mask = fv if fm is None else (fv & fm)
-            dm = table.delete_mask(i)
+            dm = self._vis_delete_mask(table, i)
             if dm is not None:
                 dmx = np.zeros(n, dtype=bool)
                 dmx[: min(len(dm), n)] = dm[:n]
@@ -1721,7 +1748,7 @@ class Executor:
         valids: List[List[Optional[np.ndarray]]] = [[] for _ in get.column_ids]
         any_valid = [False] * len(get.column_ids)
         for seg_idx, rows in hits:
-            dm = get.table.delete_mask(seg_idx)
+            dm = self._vis_delete_mask(get.table, seg_idx)
             if dm is not None:
                 inb = rows < len(dm)
                 keep = np.ones(len(rows), dtype=bool)

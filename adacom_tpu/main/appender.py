@@ -15,6 +15,7 @@ class Appender:
     def __init__(self, connection, table_name: str):
         self.con = connection
         self.table = connection.db.catalog.get_table(table_name)
+        connection._txn_touch(self.table)
         self._row: List[Any] = []
         self._buffers: List[List[Any]] = [[] for _ in self.table.column_order]
         self._buffered = 0

@@ -35,6 +35,9 @@ class Connection:
         self._in_txn = False
         self._txn_snapshot = None
         self.last_profile: Optional[dict] = None
+        # MVCC identity: write-ownership token + reader visibility key
+        self._token = id(self)
+        self.executor.conn_token = self._token
 
     # ------------------------------------------------------------------
     def query(self, sql: str) -> Optional[QueryResult]:
@@ -425,7 +428,17 @@ class Connection:
     # ------------------------------------------------------------------
     def _txn_touch(self, table):
         if self._in_txn and self._txn_snapshot is not None:
+            from adacom_tpu.storage.table import TransactionConflict
+
             name = table.name
+            try:
+                # pins the committed watermark + delete-mask snapshot so
+                # concurrent readers keep seeing only committed state,
+                # and rejects a second concurrent writer (reference
+                # optimistic write-write conflict abort)
+                table.begin_write_txn(self._token)
+            except TransactionConflict as e:
+                raise SQLError(str(e)) from e
             if name not in self._txn_snapshot:
                 # seal staged rows into segments first: rollback truncation
                 # drops the staging buffers, which would otherwise lose
@@ -444,6 +457,13 @@ class Connection:
             if wal is not None:
                 wal.begin()
         elif stmt.action == "commit":
+            snap = self._txn_snapshot or {}
+            for name in snap:
+                try:
+                    self.db.catalog.get_table(name).end_write_txn(
+                        self._token)
+                except Exception:
+                    pass
             self._in_txn = False
             self._txn_snapshot = None
             if wal is not None:
@@ -460,6 +480,7 @@ class Connection:
                         continue
                     self._truncate_to(table, nrows)
                     table._deletes = deletes
+                    table.end_write_txn(self._token)
             self._in_txn = False
             self._txn_snapshot = None
         return None

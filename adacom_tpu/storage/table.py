@@ -170,6 +170,10 @@ class StringDictionary:
         return rank
 
 
+class TransactionConflict(Exception):
+    """Write-write conflict (reference TransactionException on conflict)."""
+
+
 class Column:
     def __init__(self, name: str, ltype: tt.LogicalType, config, bm, seg_catalog):
         self.name = name
@@ -296,6 +300,18 @@ class Table:
         self._has_deletes = False
         # write-ahead log (attached by Catalog when the db is durable)
         self.wal = None
+        # MVCC visibility (reference chunk_info.cpp version arrays +
+        # transaction-local storage, adapted to append-only segments):
+        # while a transaction WRITES this table, other connections clamp
+        # scans to the committed watermark and read the committed delete
+        # masks; the writer reads its own rows live. Commit publishes,
+        # rollback truncates back. One write transaction per table at a
+        # time (a second writer gets a TransactionConflict, the
+        # reference's optimistic-conflict abort).
+        self.write_txn: Optional[int] = None  # owning connection token
+        self.committed_rows: Optional[int] = None
+        self.committed_deletes: Optional[Dict[int, np.ndarray]] = None
+        self.no_unseal = False  # fresh segments only while a txn writes
         # secondary indexes (storage/index.py; reference ART per-table list)
         self.indexes: list = []
 
@@ -354,7 +370,10 @@ class Table:
                 self.wal.log_insert(self.name, wal_data, validity)
             for c in self.column_order:
                 col = self.columns[c]
-                col.unseal_last_partial()
+                if not self.no_unseal:
+                    # in-flight txn: rewriting the tail segment would mix
+                    # committed and uncommitted rows across the watermark
+                    col.unseal_last_partial()
                 col.stage(normalized[c], validity.get(c) if validity else None)
 
     def flush(self):
@@ -377,6 +396,45 @@ class Table:
 
     def delete_mask(self, i: int) -> Optional[np.ndarray]:
         return self._deletes.get(i)
+
+    # ---------------- MVCC write ownership ----------------
+    def begin_write_txn(self, token: int) -> None:
+        """First write by a transaction: pin the committed watermark and
+        snapshot the delete masks (copy-on-write for readers)."""
+        with self._append_lock:
+            if self.write_txn is not None and self.write_txn != token:
+                raise TransactionConflict(
+                    f"table {self.name!r} is being written by another "
+                    "transaction")
+            if self.write_txn == token:
+                return
+            self.flush_locked()
+            self.write_txn = token
+            self.committed_rows = self.row_count()
+            self.committed_deletes = {
+                i: m.copy() for i, m in self._deletes.items()}
+            self.no_unseal = True
+
+    def end_write_txn(self, token: int) -> None:
+        with self._append_lock:
+            if self.write_txn != token:
+                return
+            self.write_txn = None
+            self.committed_rows = None
+            self.committed_deletes = None
+            self.no_unseal = False
+
+    def snapshot_for(self, token: Optional[int]):
+        """(visible_row_limit, delete_masks) for a reader: live state for
+        the owning writer / idle tables; the committed snapshot for
+        everyone else while a write txn is in flight."""
+        if self.write_txn is None or self.write_txn == token:
+            return None, None
+        return self.committed_rows, self.committed_deletes
+
+    def flush_locked(self):
+        for c in self.column_order:
+            self.columns[c].flush()
 
     def mark_deleted(self, seg_idx: int, rows: np.ndarray):
         if self.wal is not None:

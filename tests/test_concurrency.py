@@ -133,3 +133,97 @@ def test_concurrent_distinct_tables(db):
     assert not errs
     assert int(con.query("SELECT sum(i) FROM a").scalar()) == 20 * 200
     assert int(con.query("SELECT sum(i) FROM b2").scalar()) == 2 * 20 * 200
+
+
+def test_mvcc_reader_sees_only_committed():
+    """While a transaction writes, OTHER connections read the committed
+    watermark + committed delete masks; commit publishes atomically
+    (reference chunk_info.cpp visibility + LocalStorage semantics)."""
+    import numpy as np
+
+    import adacom_tpu as at
+
+    db = at.Database(config=at.DBConfig(segment_rows=1024))
+    w = db.connect()
+    r = db.connect()
+    w.query("CREATE TABLE t(i INTEGER)")
+    app = w.appender("t")
+    app.append_column("i", np.arange(5000, dtype=np.int32))
+    app.close()
+    assert r.query("SELECT count(*) FROM t").fetchone()[0] == 5000
+
+    w.query("BEGIN TRANSACTION")
+    w.query("INSERT INTO t VALUES (111111), (222222)")
+    w.query("DELETE FROM t WHERE i < 100")
+    # writer sees its own effects
+    assert w.query("SELECT count(*) FROM t").fetchone()[0] == 5000 + 2 - 100
+    # reader still sees the committed state
+    assert r.query("SELECT count(*) FROM t").fetchone()[0] == 5000
+    assert r.query("SELECT count(*) FROM t WHERE i = 111111").fetchone()[0] == 0
+    assert r.query("SELECT count(*) FROM t WHERE i < 100").fetchone()[0] == 100
+    w.query("COMMIT")
+    assert r.query("SELECT count(*) FROM t").fetchone()[0] == 4902
+    assert r.query("SELECT count(*) FROM t WHERE i = 111111").fetchone()[0] == 1
+    db.close()
+
+
+def test_mvcc_write_write_conflict():
+    """A second concurrent write transaction on the same table aborts
+    (reference optimistic-conflict TransactionException)."""
+    import numpy as np
+
+    import adacom_tpu as at
+    from adacom_tpu.main.connection import SQLError
+
+    db = at.Database()
+    a = db.connect()
+    b = db.connect()
+    a.query("CREATE TABLE t(i INTEGER)")
+    a.query("INSERT INTO t VALUES (1), (2)")
+    a.query("BEGIN TRANSACTION")
+    a.query("INSERT INTO t VALUES (3)")
+    b.query("BEGIN TRANSACTION")
+    try:
+        b.query("INSERT INTO t VALUES (4)")
+        raised = False
+    except SQLError:
+        raised = True
+    assert raised, "second writer should conflict"
+    b.query("ROLLBACK")
+    a.query("COMMIT")
+    # after the first commit the table is writable again
+    b.query("BEGIN TRANSACTION")
+    b.query("INSERT INTO t VALUES (5)")
+    b.query("COMMIT")
+    assert a.query("SELECT count(*) FROM t").fetchone()[0] == 4
+    db.close()
+
+
+def test_mvcc_rollback_restores_and_releases():
+    import numpy as np
+
+    import adacom_tpu as at
+
+    db = at.Database(config=at.DBConfig(segment_rows=1024))
+    w = db.connect()
+    r = db.connect()
+    w.query("CREATE TABLE t(i INTEGER)")
+    app = w.appender("t")
+    app.append_column("i", np.arange(3000, dtype=np.int32))
+    app.close()
+    w.query("BEGIN TRANSACTION")
+    w.query("INSERT INTO t VALUES (9999999)")
+    w.query("DELETE FROM t WHERE i >= 2000")
+    # 1000 original rows AND the freshly inserted 9999999 are deleted
+    assert w.query("SELECT count(*) FROM t").fetchone()[0] == 2000
+    w.query("ROLLBACK")
+    for con in (w, r):
+        assert con.query("SELECT count(*) FROM t").fetchone()[0] == 3000
+        assert con.query("SELECT count(*) FROM t WHERE i = 9999999"
+                         ).fetchone()[0] == 0
+    # table is writable after rollback
+    r.query("BEGIN TRANSACTION")
+    r.query("INSERT INTO t VALUES (7)")
+    r.query("COMMIT")
+    assert w.query("SELECT count(*) FROM t").fetchone()[0] == 3001
+    db.close()
