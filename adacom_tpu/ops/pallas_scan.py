@@ -96,87 +96,100 @@ def _build_table_scan(width: int, lane8: int, n_seg: int, seg_blk: int,
         raise ValueError(f"segment too wide for u32 partials: lane8={lane8}")
     rows_l, n_out = _row_layout(pred, minmax, narrow)
     need_cnt = pred or minmax
+    # lean sum-only variant: padded lanes hold ZERO words, so out-of-range
+    # rows decode to code 0 and add nothing — no mask, no selects, just
+    # shift/or/and/add (~3 VPU ops per row instead of ~8); the true count
+    # comes from the scalar table in the epilogue
+    lean = not pred and not minmax
 
     def kernel(scal_ref, words_ref, out_ref):
+        # v3: vectorized ACROSS the segment block — one instruction
+        # stream over (seg_blk, 8, lane8) arrays instead of seg_blk
+        # unrolled copies (v2 was instruction-bound at 45 GB/s; longer
+        # vectors let the VPU pipeline the 32-row dependency chain).
+        # Per-segment scalars ride a VMEM block and broadcast as
+        # (seg_blk, 1, 1) vectors.
         mask_c = _U32(mask_val)
-        for s in range(seg_blk):
-            count = scal_ref[s, 0].astype(_I32)
-            l_orig = scal_ref[s, 3].astype(_I32)
-            if pred:
-                lo = scal_ref[s, 1]
-                # unsigned-range trick: code in [lo, hi] iff
-                # (code - lo) <= (hi - lo) in uint32 arithmetic
-                span_c = scal_ref[s, 2] - lo
-            wm = words_ref[s]  # (width, 8, lane8) VMEM
-            # global lane index of each (sublane, minor) position after
-            # the row-major (L,) -> (8, L/8) reshape: lane = a*lane8 + b
-            ia = jax.lax.broadcasted_iota(_I32, (8, lane8), 0)
-            ib = jax.lax.broadcasted_iota(_I32, (8, lane8), 1)
-            lane_g = ia * np.int32(lane8) + ib
+        count = scal_ref[:, 0:1].astype(_I32)[:, :, None]   # (B,1,1)
+        l_orig = scal_ref[:, 3:4].astype(_I32)[:, :, None]
+        if pred:
+            lo = scal_ref[:, 1:2][:, :, None]
+            # unsigned-range trick: code in [lo, hi] iff
+            # (code - lo) <= (hi - lo) in uint32 arithmetic
+            span_c = scal_ref[:, 2:3][:, :, None] - lo
+        wm = words_ref[...]  # (B, width, 8, lane8)
+        ia = jax.lax.broadcasted_iota(_I32, (8, lane8), 0)
+        ib = jax.lax.broadcasted_iota(_I32, (8, lane8), 1)
+        lane_g = (ia * np.int32(lane8) + ib)[None]          # (1,8,lane8)
 
-            zero = jnp.zeros((8, lane8), _U32)
-            one = jnp.full((8, lane8), 1, _U32)
-            acc = zero
-            if not narrow:
-                acc_hi = zero
-            if need_cnt:
-                cnt = zero
-            if minmax:
-                ffff = jnp.full((8, lane8), U32_MAX, _U32)
-                mn = ffff
-                mx = zero
-            for r in range(bitpack.ROWS):
-                p = r * width
-                k, off = p >> 5, p & 31
-                code = wm[k]
-                if off:
-                    code = code >> _U32(off)
-                if off + width > 32:
-                    code = code | (wm[k + 1] << _U32(32 - off))
-                code = code & mask_c
-                # valid iff global lane < l_orig AND flat index
-                # (= r*l_orig + lane) < count: both fold into one scalar
-                # threshold computed on the scalar core
-                thr = jnp.minimum(count - np.int32(r) * l_orig, l_orig)
-                keep = lane_g < thr
-                if pred:
-                    keep = keep & ((code - lo) <= span_c)
+        zero = jnp.zeros((seg_blk, 8, lane8), _U32)
+        one = jnp.full((seg_blk, 8, lane8), 1, _U32)
+        acc = zero
+        if not narrow:
+            acc_hi = zero
+        if need_cnt:
+            cnt = zero
+        if minmax:
+            ffff = jnp.full((seg_blk, 8, lane8), U32_MAX, _U32)
+            mn = ffff
+            mx = zero
+        for r in range(bitpack.ROWS):
+            p = r * width
+            k, off = p >> 5, p & 31
+            code = wm[:, k]                                  # (B,8,lane8)
+            if off:
+                code = code >> _U32(off)
+            if off + width > 32:
+                code = code | (wm[:, k + 1] << _U32(32 - off))
+            code = code & mask_c
+            if lean:
                 if narrow:
-                    acc = acc + jnp.where(keep, code, zero)
+                    acc = acc + code
                 else:
-                    acc = acc + jnp.where(keep, code & _U32(0xFFFF), zero)
-                    acc_hi = acc_hi + jnp.where(keep, code >> _U32(16),
-                                                zero)
-                if need_cnt:
-                    cnt = cnt + jnp.where(keep, one, zero)
-                if minmax:
-                    # Mosaic has no arith.minui/maxui: select on cmp
-                    c_or_max = jnp.where(keep, code, ffff)
-                    c_or_min = jnp.where(keep, code, zero)
-                    mn = jnp.where(c_or_max < mn, c_or_max, mn)
-                    mx = jnp.where(c_or_min > mx, c_or_min, mx)
-
-            def fold(x):  # (8, lane8) -> (8, 128) by pairwise lane add
-                while x.shape[1] > 128:
-                    h = x.shape[1] // 2
-                    x = x[:, :h] + x[:, h:]
-                return x
-
-            def foldm(x, is_min):
-                while x.shape[1] > 128:
-                    h = x.shape[1] // 2
-                    a, b_ = x[:, :h], x[:, h:]
-                    x = jnp.where(a < b_ if is_min else a > b_, a, b_)
-                return x
-
-            parts = [fold(acc)]
-            if not narrow:
-                parts.append(fold(acc_hi))
+                    acc = acc + (code & _U32(0xFFFF))
+                    acc_hi = acc_hi + (code >> _U32(16))
+                continue
+            # valid iff global lane < l_orig AND flat index
+            # (= r*l_orig + lane) < count, folded into one threshold
+            thr = jnp.minimum(count - np.int32(r) * l_orig, l_orig)
+            keep = lane_g < thr
+            if pred:
+                keep = keep & ((code - lo) <= span_c)
+            if narrow:
+                acc = acc + jnp.where(keep, code, zero)
+            else:
+                acc = acc + jnp.where(keep, code & _U32(0xFFFF), zero)
+                acc_hi = acc_hi + jnp.where(keep, code >> _U32(16), zero)
             if need_cnt:
-                parts.append(fold(cnt))
+                cnt = cnt + jnp.where(keep, one, zero)
             if minmax:
-                parts += [foldm(mn, True), foldm(mx, False)]
-            out_ref[s] = jnp.stack(parts, axis=0)
+                # Mosaic has no arith.minui/maxui: select on cmp
+                c_or_max = jnp.where(keep, code, ffff)
+                c_or_min = jnp.where(keep, code, zero)
+                mn = jnp.where(c_or_max < mn, c_or_max, mn)
+                mx = jnp.where(c_or_min > mx, c_or_min, mx)
+
+        def fold(x):  # (B, 8, lane8) -> (B, 8, 128) pairwise lane add
+            while x.shape[2] > 128:
+                h = x.shape[2] // 2
+                x = x[:, :, :h] + x[:, :, h:]
+            return x
+
+        def foldm(x, is_min):
+            while x.shape[2] > 128:
+                h = x.shape[2] // 2
+                a, b_ = x[:, :, :h], x[:, :, h:]
+                x = jnp.where(a < b_ if is_min else a > b_, a, b_)
+            return x
+
+        parts = [fold(acc)]
+        if not narrow:
+            parts.append(fold(acc_hi))
+        if need_cnt:
+            parts.append(fold(cnt))
+        if minmax:
+            parts += [foldm(mn, True), foldm(mx, False)]
+        out_ref[...] = jnp.stack(parts, axis=1)
 
     # index maps must stay arithmetic-free and literal-free: under
     # jax_enable_x64, computed indices AND bare Python `0` literals trace
@@ -187,11 +200,12 @@ def _build_table_scan(width: int, lane8: int, n_seg: int, seg_blk: int,
         kernel,
         grid=(n_chunks,),
         in_specs=[
-            # per-step (seg_blk, 8) scalar slice in SMEM: the whole table
-            # at once overflows the 1 MB SMEM budget at bench scale
-            # (n_seg=2048 pads to 1.00 MB — the round-3 BENCH crash)
+            # per-step (seg_blk, 8) scalar slice in VMEM (v2 kept it in
+            # SMEM for per-segment scalar loads; v3 reads it as vectors —
+            # and the round-3 crash taught us never to pass the whole
+            # table as one block: n_seg=2048 padded to 1.00 MB of SMEM)
             pl.BlockSpec((seg_blk, 8), lambda c: (c, z),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((seg_blk, width, 8, lane8),
                          lambda c: (c, z, z, z),
                          memory_space=pltpu.VMEM),

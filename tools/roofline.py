@@ -137,6 +137,25 @@ def main():
     print(f"pallas fused scan (kernel): {dt_p * 1e3:8.3f} ms  "
           f"{gbps_p:7.1f} GB/s  {rows / dt_p / 1e9:6.2f} Grows/s"
           + (f"  ({100 * gbps_p / peak:.0f}% of roofline)" if peak else ""))
+
+    # ---- lean variant (no predicate): SELECT sum(x), count(*) ----
+    run_lean = pallas_scan._build_runner(args.width, lane8, n_pad, blk,
+                                         False, False)
+    scal_l = scal.copy()
+    scal_l[:, 1] = 0
+    scal_l[:, 2] = 0xFFFFFFFF
+    scal_ld = jnp.asarray(scal_l)
+    chain_l = chained(run_lean)
+    out = np.asarray(chain_l(w_c, scal_ld, mins_d))
+    exp_all = (int(a.sum()), rows)
+    assert (int(out[0]), int(out[1])) == exp_all, (out, exp_all)
+    t0 = time.perf_counter()
+    np.asarray(chain_l(w_c, scal_ld, mins_d))
+    dt_l = (time.perf_counter() - t0) / K
+    gbps_l = packed_bytes / dt_l / 1e9
+    print(f"pallas lean sum (kernel):   {dt_l * 1e3:8.3f} ms  "
+          f"{gbps_l:7.1f} GB/s  {rows / dt_l / 1e9:6.2f} Grows/s"
+          + (f"  ({100 * gbps_l / peak:.0f}% of roofline)" if peak else ""))
     t0 = time.perf_counter()
     pallas_scan.scan_table(words, counts, mins, lo, hi, minmax=False)
     dt_pe = time.perf_counter() - t0
