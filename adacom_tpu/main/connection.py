@@ -81,7 +81,7 @@ class Connection:
     def _execute_stmt(self, stmt, key, lits, structural, stmt_idx, sql):
         t0 = time.perf_counter()
         if isinstance(stmt, ast.SelectStmt):
-            res = self._execute_select(stmt, key, lits, structural, stmt_idx)
+            res = self._execute_select(stmt, key, lits, structural, stmt_idx, sql)
         elif isinstance(stmt, ast.CreateTableStmt):
             res = self._execute_create_table(stmt, lits)
         elif isinstance(stmt, ast.CreateViewStmt):
@@ -184,7 +184,8 @@ class Connection:
                 self.db.template_slots.clear()
         return plan
 
-    def _execute_select(self, stmt, key, lits, structural, stmt_idx) -> QueryResult:
+    def _execute_select(self, stmt, key, lits, structural, stmt_idx,
+                        sql=None) -> QueryResult:
         profiling = self.db.config.enable_profiling
         t0 = time.perf_counter()
         try:
@@ -215,7 +216,8 @@ class Connection:
                                                       verify_select)
 
             try:
-                verify_select(self, stmt, lits, res.fetchall())
+                verify_select(self, stmt, lits, res.fetchall(),
+                              sql=sql, stmt_idx=stmt_idx)
             except VerificationError as e:
                 raise SQLError(str(e)) from e
         return res

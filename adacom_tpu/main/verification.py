@@ -24,6 +24,10 @@ Variants here:
                      (bind-time-evaluated functions, binder.structural
                      non-empty) are skipped, as the reference skips
                      unpreparable statements;
+- ``parsed``       — the ORIGINAL SQL text re-lexed and re-parsed, then
+                     bound and executed (parsed_statement_verifier.cpp);
+                     also cross-checks that literal extraction reproduces
+                     the same parameter list;
 - ``external``     — executed on a FRESH Connection of the same database
                      (new executor, empty caches): catches connection-local
                      state leaking into results (external_statement_verifier.cpp).
@@ -59,18 +63,38 @@ def _has_unordered_limit(plan: b.LogicalOp) -> bool:
 
 
 def verify_select(connection, stmt: ast.SelectStmt, lits,
-                  baseline_rows: List[tuple]) -> Optional[str]:
+                  baseline_rows: List[tuple], sql=None,
+                  stmt_idx: int = 0) -> Optional[str]:
     """Re-run `stmt` through verification variants and compare with the
     baseline rows. Returns None on success, raises VerificationError on a
     mismatch. Skips nondeterministic shapes (LIMIT without total order)."""
     from adacom_tpu.main.result import QueryResult
 
     base = _rows_key(baseline_rows)
-    for variant in ("copied", "unoptimized", "deserialized", "prepared",
-                    "external"):
+    variants = ["copied", "parsed", "unoptimized", "deserialized",
+                "prepared", "external"]
+    for variant in variants:
         executor = connection.executor
         binder = Binder(connection.db.catalog, connection.db.config)
-        plan = binder.bind_select(stmt)
+        use_stmt = stmt
+        if variant == "parsed":
+            # re-lex + re-parse the ORIGINAL SQL text (the reference's
+            # parsed_statement_verifier.cpp: statement->ToString() round
+            # trip; here the raw text IS available)
+            if sql is None:
+                continue
+            from adacom_tpu.sql.parser import parse as _parse
+
+            try:
+                stmts2, _k, lits2, _s = _parse(sql)
+                use_stmt = stmts2[stmt_idx]
+            except Exception as e:
+                raise VerificationError(
+                    f"verifier [parsed]: re-parse failed: {e}")
+            if repr(lits2) != repr(list(lits)):
+                raise VerificationError(
+                    "verifier [parsed]: literal extraction diverged")
+        plan = binder.bind_select(use_stmt)
         if variant == "prepared" and binder.structural:
             # the binder baked literal values into this plan (bind-time-
             # evaluated functions): not preparable as a value-free
