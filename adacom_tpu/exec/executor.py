@@ -269,7 +269,9 @@ class Executor:
             elif op in (">", ">="):
                 keep &= maxs[:n_seg] >= val if op == ">=" \
                     else maxs[:n_seg] > val
-        return [i for i in range(n_seg) if keep[i]]
+        # nonzero beats a python loop at point-lookup rates (10k qps over
+        # 1526 segments made the comprehension ~20% of lookup cost)
+        return np.nonzero(keep)[0].tolist()
 
     def _vis_delete_mask(self, table, i: int):
         """Snapshot-aware delete mask: readers see the committed masks
