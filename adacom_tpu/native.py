@@ -159,13 +159,28 @@ def _scratch_i64(n: int) -> np.ndarray:
     return buf
 
 
+_eq_u32_raw = None
+
+
 def filter_eq_u32(vals: np.ndarray, v: int) -> np.ndarray:
     lib = _load()
-    vals = np.ascontiguousarray(vals, dtype=np.uint32)
-    if lib is None:
-        return np.nonzero(vals == np.uint32(v))[0]
+    if lib is None or vals.dtype != np.uint32 or \
+            not vals.flags.c_contiguous:
+        vals = np.ascontiguousarray(vals, dtype=np.uint32)
+        if lib is None:
+            return np.nonzero(vals == np.uint32(v))[0]
+    # raw-address call: ndpointer from_param validation costs ~10us per
+    # call, real money at 10k point lookups/s
+    global _eq_u32_raw
+    if _eq_u32_raw is None:
+        raw = ctypes.CDLL(_SO_PATH).adacom_filter_eq_u32
+        raw.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32,
+                        ctypes.c_void_p]
+        raw.restype = ctypes.c_int64
+        _eq_u32_raw = raw
     idx = _scratch_i64(len(vals))
-    m = lib.adacom_filter_eq_u32(vals, len(vals), np.uint32(v), idx)
+    m = _eq_u32_raw(vals.ctypes.data, len(vals), v & 0xFFFFFFFF,
+                    idx.ctypes.data)
     return idx[:m].copy()
 
 
