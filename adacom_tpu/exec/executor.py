@@ -2560,6 +2560,14 @@ def _unique_rows(key_arrays: List[np.ndarray]):
     rows, aggregate_hashtable.cpp FindOrCreateGroups)."""
     from adacom_tpu import native as _native
 
+    if len(key_arrays) == 1 and key_arrays[0].dtype.kind in "iu" and \
+            key_arrays[0].dtype != np.uint64:
+        # single integer key: the value IS the group key — no hashing,
+        # no collision verification (Q18's 1.5M-group l_orderkey agg
+        # spent half its time in the hash mix)
+        h = np.ascontiguousarray(key_arrays[0], dtype=np.int64)
+        gid, first_idx = _native.groupby_i64(h)
+        return [key_arrays[0][first_idx]], gid
     h = _row_keys(key_arrays)
     if h.dtype != np.int64:
         h = h.view(np.int64) if h.dtype.itemsize == 8 else h.astype(np.int64)
