@@ -533,6 +533,26 @@ class Connection:
         if name == "segment_stats":
             print(cat.print_stats())
             return None
+        if name == "tpu_profile_start":
+            # device trace capture (the reference's QueryProfiler has no
+            # device; here jax.profiler traces XLA/Pallas execution for
+            # TensorBoard / xprof — SURVEY §5.1's "jax profiler traces")
+            import jax
+
+            path = (str(stmt.args[0]).strip("'\"") if stmt.args
+                    else "/tmp/adacom_trace")
+            jax.profiler.start_trace(path)
+            self.db._trace_dir = path
+            return None
+        if name == "tpu_profile_stop":
+            import jax
+
+            jax.profiler.stop_trace()
+            path = getattr(self.db, "_trace_dir", None)
+            return self._scalar_result(
+                "trace_dir", tt.BIGINT, 0) if path is None else \
+                self._text_result("trace_dir", path)
+            return None
         if name == "database_size":
             return self._scalar_result("database_size", tt.BIGINT,
                                        cat.get_total_data_size())
@@ -690,6 +710,11 @@ class Connection:
             [np.arange(1, dtype=np.uint32)], [None],
             [_TextDict([text])],
         )
+
+    def _text_result(self, name: str, value: str):
+        return QueryResult([name], [tt.VARCHAR],
+                           [np.arange(1, dtype=np.uint32)], [None],
+                           [_TextDict([value])])
 
     def _execute_describe(self, stmt: ast.DescribeStmt):
         table = self.db.catalog.get_table(stmt.table)

@@ -99,3 +99,19 @@ def test_verifier_prepared_and_external_variants():
         "SELECT count(*) FROM s WHERE substring(v, 1, 4) = 'alph'").fetchone()
     assert int(r[0]) == 2
     db.close()
+
+
+def test_tpu_profile_trace_pragmas(tmp_path):
+    """PRAGMA tpu_profile_start/stop capture a jax profiler trace (device
+    observability — SURVEY §5.1 'per-op wall counters + jax traces')."""
+    import os
+
+    db, con = _db()
+    d = str(tmp_path / "trace")
+    con.query(f"PRAGMA tpu_profile_start('{d}')")
+    con.query("SELECT SUM(i) FROM t")
+    r = con.query("PRAGMA tpu_profile_stop").fetchall()
+    assert r == [(d,)]
+    n_files = sum(len(f) for _, _, f in os.walk(d))
+    assert n_files > 0
+    db.close()
