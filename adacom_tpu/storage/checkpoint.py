@@ -49,9 +49,11 @@ def write_checkpoint(db, path: str) -> None:
                     arrays[f"{sid}.validity"] = seg._validity_np
                 cinfo["segments"].append(sinfo)
             if col.dictionary is not None:
-                arrays[f"{tname}.{cname}.dict"] = np.asarray(
-                    col.dictionary._strings, dtype=object
-                )
+                # strings_array() restores the plain form if the
+                # dictionary is FSST-compressed (persisting plain keeps
+                # the checkpoint format codec-independent)
+                arrays[f"{tname}.{cname}.dict"] = \
+                    col.dictionary.strings_array()
             np.savez_compressed(
                 os.path.join(path, f"{tname}.{cname}.npz"), **arrays
             )

@@ -106,3 +106,29 @@ def test_engine_fsst_on_compact(rng):
     r = con.query("SELECT v FROM t WHERE i = 12345").fetchone()
     assert r[0] == strs[12345]
     db.close()
+
+
+def test_fsst_dictionary_checkpoint_roundtrip(tmp_path):
+    """CHECKPOINT with an FSST-compressed dictionary persists the plain
+    strings (codec-independent checkpoint format) and reloads exactly."""
+    import os
+
+    import numpy as np
+
+    db = at.Database(path=str(tmp_path / "db"))
+    con = db.connect()
+    con.query("CREATE TABLE t(v VARCHAR)")
+    strs = [f"/x/y/entry-{i:07d}" for i in range(20000)]
+    app = con.appender("t")
+    app.append_column("v", np.asarray(strs, dtype=object))
+    app.close()
+    db.catalog.get_column_segment_catalog().compact_all_segments()
+    assert db.catalog.get_table("t").columns["v"].dictionary.is_compressed()
+    con.query("CHECKPOINT")
+    db.close()
+    db2 = at.Database(path=str(tmp_path / "db"))
+    con2 = db2.connect()
+    r = con2.query("SELECT v FROM t WHERE v = '/x/y/entry-0012345'").fetchall()
+    assert r == [("/x/y/entry-0012345",)]
+    assert con2.query("SELECT count(*) FROM t").fetchone()[0] == 20000
+    db2.close()
