@@ -929,15 +929,16 @@ class Executor:
             if self._vis_delete_mask(table, i) is not None:
                 return None
             s = table.segment(col_name, i)
-            if s._validity_np is not None or not s.is_compacted() or \
-                    s.codec not in (None, "succinct"):
+            if not s.is_compacted() or s.codec not in (None, "succinct"):
                 return None
             segs.append(s)
+        any_null = any(s._validity_np is not None for s in segs)
 
         from adacom_tpu.ops import pallas_scan
 
         TILE = pallas_scan.TILE_L
-        tot_sum, tot_cnt = 0, 0
+        tot_sum, tot_cnt = 0, 0   # tot_cnt = valid [& predicate] rows
+        raw_rows = 0              # all visible rows (count(*) w/o pred)
         gmin = gmax = None
         if not empty:
             classes: Dict[int, list] = {}
@@ -947,51 +948,72 @@ class Executor:
                     return None
                 (w,), L, _dt = meta[1]
                 mf = s._packed.min_factor
+                raw_rows += s.count
                 if w == 0:
+                    n_valid = (s.count if s._validity_np is None
+                               else int(s._validity_np.sum()))
                     if (lo is None or mf >= lo) and (hi is None or mf <= hi):
-                        tot_cnt += s.count
-                        tot_sum += mf * s.count
+                        tot_cnt += n_valid
+                        tot_sum += mf * n_valid
                         gmin = mf if gmin is None else min(gmin, mf)
                         gmax = mf if gmax is None else max(gmax, mf)
                 else:
+                    vplane = s.validity_arrays()
                     classes.setdefault(w, []).append(
-                        (arrays[0], s.count, mf, L, id(s), s.version))
+                        (arrays[0], s.count, mf, L, id(s), s.version,
+                         None if vplane is None else vplane[0]))
             cache = getattr(table, "_pool_cache", None)
             if cache is None:
                 cache = table._pool_cache = {}
             for w, entries in classes.items():
                 L_pad = max(-(-e[3] // TILE) * TILE for e in entries)
-                key = ("pallas", w, L_pad,
+                cls_valid = any(e[6] is not None for e in entries)
+                key = ("pallas", w, L_pad, cls_valid,
                        tuple((e[4], e[5]) for e in entries))
                 stacked = cache.get(key)
                 if stacked is None:
-                    padded = [
-                        words if words.shape[1] == L_pad
-                        else jnp.pad(words, ((0, 0), (0, L_pad - words.shape[1])))
-                        for words, *_ in entries
-                    ]
-                    stacked = jnp.stack(padded)
+                    def padw(words, wid=None):
+                        if words.shape[1] == L_pad:
+                            return words
+                        return jnp.pad(words,
+                                       ((0, 0), (0, L_pad - words.shape[1])))
+                    padded = [padw(words) for words, *_ in entries]
+                    vstack = None
+                    if cls_valid:
+                        ones = jnp.full((1, L_pad), 0xFFFFFFFF,
+                                        dtype=jnp.uint32)
+                        vstack = jnp.stack([
+                            ones if e[6] is None else padw(e[6])
+                            for e in entries
+                        ])
+                    stacked = (jnp.stack(padded), vstack)
                     if len(cache) > 8:
                         cache.clear()
                     cache[key] = stacked
+                wstk, vstk = stacked
                 counts = np.asarray([e[1] for e in entries], np.int64)
                 mins = np.asarray([e[2] for e in entries], np.int64)
                 lanes = np.asarray([e[3] for e in entries], np.int64)
                 need_minmax = any(k in ("min", "max")
                                   for k, _a, _acc, _d in specs)
                 s_, c_, mn_, mx_ = pallas_scan.scan_table(
-                    stacked, counts, mins, lo, hi, lanes=lanes,
-                    minmax=need_minmax)
+                    wstk, counts, mins, lo, hi, lanes=lanes,
+                    minmax=need_minmax, valids=vstk)
                 tot_sum += s_
                 tot_cnt += c_
                 if c_ > 0:
                     gmin = mn_ if gmin is None else min(gmin, mn_)
                     gmax = mx_ if gmax is None else max(gmax, mx_)
 
+        has_pred = lo is not None or hi is not None
         prim = []
         for kind, arg, acc, _d in specs:
-            if kind in ("count", "count_arg"):
-                prim.append(np.int64(tot_cnt))
+            if kind == "count":
+                # count(*): every visible row unless a predicate filters
+                prim.append(np.int64(tot_cnt if has_pred else raw_rows))
+            elif kind == "count_arg":
+                prim.append(np.int64(
+                    tot_cnt if (has_pred or any_null) else raw_rows))
             elif kind == "sum":
                 prim.append(np.asarray(tot_sum, dtype=acc)[()])
             elif kind == "min":
@@ -1588,6 +1610,9 @@ class Executor:
             if rm is not None:
                 rk = np.where(np.asarray(rm), rk, _null_key(rk.dtype))
             rkeys.append(rk)
+        budget = getattr(self.config, "memory_limit", None)
+        if budget and len(rkeys[0]) * 24 > budget // 2:
+            return None  # build side beyond budget: grace-hash spill path
         exact = (len(rkeys) == 1 and rkeys[0].dtype.kind in "iu"
                  and rkeys[0].dtype != np.uint64)
         rk64 = (np.ascontiguousarray(rkeys[0], dtype=np.int64) if exact

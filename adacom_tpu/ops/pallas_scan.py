@@ -77,7 +77,7 @@ def supported(width: int, n_lanes: int = TILE_L) -> bool:
 
 @functools.lru_cache(maxsize=128)
 def _build_table_scan(width: int, lane8: int, n_seg: int, seg_blk: int,
-                      pred: bool, minmax: bool):
+                      pred: bool, minmax: bool, has_valid: bool = False):
     """pallas_call over (n_seg, width, 8, lane8) words + (n_seg, 8) scalars.
 
     scalars row: [count, lo_code, hi_code, l_orig, 0...] all uint32 —
@@ -94,15 +94,23 @@ def _build_table_scan(width: int, lane8: int, n_seg: int, seg_blk: int,
     narrow = bitpack.ROWS * mask_val * fold_f < (1 << 32)
     if not narrow and bitpack.ROWS * 0xFFFF * fold_f >= (1 << 32):
         raise ValueError(f"segment too wide for u32 partials: lane8={lane8}")
-    rows_l, n_out = _row_layout(pred, minmax, narrow)
-    need_cnt = pred or minmax
+    rows_l, n_out = _row_layout(pred or has_valid, minmax, narrow)
+    need_cnt = pred or minmax or has_valid
     # lean sum-only variant: padded lanes hold ZERO words, so out-of-range
     # rows decode to code 0 and add nothing — no mask, no selects, just
     # shift/or/and/add (~3 VPU ops per row instead of ~8); the true count
-    # comes from the scalar table in the epilogue
-    lean = not pred and not minmax
+    # comes from the scalar table in the epilogue. NULL slots hold FILL
+    # values (segment.py), so a validity plane forces the masked path for
+    # sums/counts (min/max stay correct either way: fills duplicate a
+    # valid value).
+    lean = not pred and not minmax and not has_valid
 
-    def kernel(scal_ref, words_ref, out_ref):
+    def kernel(scal_ref, words_ref, *refs):
+        # refs = (valid_ref, out_ref) with a validity plane, else (out_ref,)
+        if has_valid:
+            valid_ref, out_ref = refs
+        else:
+            (out_ref,) = refs
         # v3: vectorized ACROSS the segment block — one instruction
         # stream over (seg_blk, 8, lane8) arrays instead of seg_blk
         # unrolled copies (v2 was instruction-bound at 45 GB/s; longer
@@ -118,6 +126,8 @@ def _build_table_scan(width: int, lane8: int, n_seg: int, seg_blk: int,
             # (code - lo) <= (hi - lo) in uint32 arithmetic
             span_c = scal_ref[:, 2:3][:, :, None] - lo
         wm = words_ref[...]  # (B, width, 8, lane8)
+        if has_valid:
+            vw0 = valid_ref[...][:, 0]  # (B, 8, lane8) width-1 plane
         ia = jax.lax.broadcasted_iota(_I32, (8, lane8), 0)
         ib = jax.lax.broadcasted_iota(_I32, (8, lane8), 1)
         lane_g = (ia * np.int32(lane8) + ib)[None]          # (1,8,lane8)
@@ -153,6 +163,9 @@ def _build_table_scan(width: int, lane8: int, n_seg: int, seg_blk: int,
             # (= r*l_orig + lane) < count, folded into one threshold
             thr = jnp.minimum(count - np.int32(r) * l_orig, l_orig)
             keep = lane_g < thr
+            if has_valid:
+                # vertical width-1 layout: row r of a lane is bit r
+                keep = keep & (((vw0 >> _U32(r)) & _U32(1)) != _U32(0))
             if pred:
                 keep = keep & ((code - lo) <= span_c)
             if narrow:
@@ -196,20 +209,25 @@ def _build_table_scan(width: int, lane8: int, n_seg: int, seg_blk: int,
     # as i64, which Mosaic cannot lower; np.int32 pins the dtype
     z = np.int32(0)
     n_chunks = n_seg // seg_blk
+    in_specs = [
+        # per-step (seg_blk, 8) scalar slice in VMEM (v2 kept it in
+        # SMEM for per-segment scalar loads; v3 reads it as vectors —
+        # and the round-3 crash taught us never to pass the whole
+        # table as one block: n_seg=2048 padded to 1.00 MB of SMEM)
+        pl.BlockSpec((seg_blk, 8), lambda c: (c, z),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((seg_blk, width, 8, lane8),
+                     lambda c: (c, z, z, z),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_valid:
+        in_specs.append(pl.BlockSpec((seg_blk, 1, 8, lane8),
+                                     lambda c: (c, z, z, z),
+                                     memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
-        in_specs=[
-            # per-step (seg_blk, 8) scalar slice in VMEM (v2 kept it in
-            # SMEM for per-segment scalar loads; v3 reads it as vectors —
-            # and the round-3 crash taught us never to pass the whole
-            # table as one block: n_seg=2048 padded to 1.00 MB of SMEM)
-            pl.BlockSpec((seg_blk, 8), lambda c: (c, z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((seg_blk, width, 8, lane8),
-                         lambda c: (c, z, z, z),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((seg_blk, n_out, 8, 128),
                                lambda c: (c, z, z, z),
                                memory_space=pltpu.VMEM),
@@ -240,17 +258,18 @@ def _row_layout(pred: bool, minmax: bool, narrow: bool):
 
 @functools.lru_cache(maxsize=128)
 def _build_runner(width: int, lane8: int, n_seg: int, seg_blk: int,
-                  pred: bool, minmax: bool):
+                  pred: bool, minmax: bool, has_valid: bool = False):
     call, rows_l, narrow = _build_table_scan(width, lane8, n_seg, seg_blk,
-                                             pred, minmax)
+                                             pred, minmax, has_valid)
 
     @jax.jit
-    def run(words, scalars, mins):
+    def run(words, scalars, mins, valid=None):
         """-> padded int64 vector [sum, count, vmin, vmax, 0...].
 
         mins: (n_seg,) int64 frame-of-reference minima. vmin/vmax are in
         the VALUE domain and only meaningful when count > 0."""
-        raw = call(scalars, words)
+        raw = call(scalars, words, valid) if has_valid \
+            else call(scalars, words)
         i64 = jnp.int64
         if "cnt" in rows_l:
             cnt = raw[:, rows_l["cnt"]].astype(i64).sum(axis=(1, 2))
@@ -290,7 +309,7 @@ def _seg_blk_for(width: int, lane8: int, n_seg: int) -> int:
 
 
 def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None,
-               device_out: bool = False, minmax: bool = True):
+               device_out: bool = False, minmax: bool = True, valids=None):
     """Fused compressed scan over a stacked table of same-width segments.
 
     words:  (n_seg, width, n_lanes) uint32 packed planes (bitpack layout);
@@ -299,6 +318,9 @@ def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None,
     mins:   (n_seg,) per-segment frame-of-reference minima (python ints or
             numpy array)
     lo/hi:  inclusive predicate range in the VALUE domain (None = open)
+    valids: optional (n_seg, 1, n_lanes) stacked width-1 validity planes
+            (all-ones rows for fully-valid segments); NULL rows are
+            excluded from sum/count
     lanes:  (n_seg,) each segment's ORIGINAL lane count (defaults to the
             stacked lane dim) — element order is i = r*lanes[s] + lane
     minmax: False skips min/max tracking (leaner kernel for sum/count)
@@ -315,6 +337,8 @@ def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None,
     if n_lanes % TILE_L:
         pad = TILE_L - n_lanes % TILE_L
         words = jnp.pad(words, ((0, 0), (0, 0), (0, pad)))
+        if valids is not None:
+            valids = jnp.pad(valids, ((0, 0), (0, 0), (0, pad)))
         n_lanes += pad
     lane8 = n_lanes // 8
     pred = not (lo is None and hi is None)
@@ -337,6 +361,9 @@ def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None,
         scal[empty, 2] = 0
 
     words = words.reshape(n_seg, width, 8, lane8)
+    has_valid = valids is not None
+    if has_valid:
+        valids = valids.reshape(n_seg, 1, 8, lane8)
 
     # launch in fixed-size segment chunks (tail padded to a power of two
     # with zero-count segments): segment counts vary per table/query, so
@@ -350,12 +377,21 @@ def scan_table(words: jax.Array, counts, mins, lo=None, hi=None, lanes=None,
         w_c = words[off:off + take]
         s_c = scal[off:off + take]
         m_c = mins64[off:off + take]
+        v_c = valids[off:off + take] if has_valid else None
         if padded != take:
             w_c = jnp.pad(w_c, ((0, padded - take), (0, 0), (0, 0), (0, 0)))
             s_c = np.pad(s_c, ((0, padded - take), (0, 0)))
             m_c = np.pad(m_c, (0, padded - take))
-        run = _build_runner(width, lane8, padded, blk, pred, minmax)
-        dev_outs.append(run(w_c, jnp.asarray(s_c), jnp.asarray(m_c)))
+            if has_valid:
+                v_c = jnp.pad(v_c, ((0, padded - take), (0, 0), (0, 0),
+                                    (0, 0)))
+        run = _build_runner(width, lane8, padded, blk, pred, minmax,
+                            has_valid)
+        if has_valid:
+            dev_outs.append(run(w_c, jnp.asarray(s_c), jnp.asarray(m_c),
+                                v_c))
+        else:
+            dev_outs.append(run(w_c, jnp.asarray(s_c), jnp.asarray(m_c)))
         off += take
     if device_out:
         # leave results on device (callers time or fuse downstream; the

@@ -228,3 +228,39 @@ def test_engine_pallas_grouped_agg():
         assert int(row[1]) == int(m.sum())
         assert int(row[2]) == int(v[m].astype(np.int64).sum())
     db.close()
+
+
+def test_engine_pallas_scan_agg_with_nulls():
+    """The Pallas tier handles validity planes: sum/count(col) exclude
+    NULLs, count(*) counts all rows (round-3 weak #6: eligibility was
+    'no validity')."""
+    import adacom_tpu as at
+    from adacom_tpu.ops import pallas_scan as ps
+
+    cfg = at.DBConfig()
+    cfg.segment_rows = 4096
+    cfg.pallas_scan_enabled = True
+    cfg.host_scan_segment_limit = 0
+    db = at.Database(config=cfg)
+    con = db.connect()
+    con.query("CREATE TABLE t(i INTEGER)")
+    rng = np.random.default_rng(29)
+    vals = rng.integers(0, 50_000, 20_000).astype(np.int32)
+    null = rng.random(20_000) < 0.15
+    app = con.appender("t")
+    app.append_column("i", vals, validity=~null)
+    app.close()
+    db.catalog.get_column_segment_catalog().compact_all_segments()
+    misses0 = ps._build_runner.cache_info().misses
+    r = con.query("SELECT count(*), count(i), sum(i) FROM t").fetchone()
+    assert ps._build_runner.cache_info().misses > misses0, \
+        "pallas tier did not engage on the validity shape"
+    v64 = vals.astype(np.int64)
+    assert int(r[0]) == 20_000
+    assert int(r[1]) == int((~null).sum())
+    assert int(r[2]) == int(v64[~null].sum())
+    r = con.query("SELECT count(*), sum(i) FROM t WHERE i >= 10000 AND i < 30000").fetchone()
+    m = (~null) & (vals >= 10000) & (vals < 30000)
+    assert int(r[0]) == int(m.sum())
+    assert int(r[1]) == int(v64[m].sum())
+    db.close()
