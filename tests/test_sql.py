@@ -369,3 +369,18 @@ def test_streaming_join_pipeline_engages():
         assert int(row[2]) == int(sel.sum())
         assert int(row[1]) == int(v[sel].sum())
     db.close()
+
+
+def test_differential_fuzz_smoke():
+    """50 random queries vs sqlite (sqlsmith analogue, SURVEY §4);
+    tools/fuzz_differential.py runs bigger sweeps."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/fuzz_differential.py", "50", "7"],
+        capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "."},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
