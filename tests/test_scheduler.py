@@ -11,6 +11,8 @@ import numpy as np
 import adacom_tpu as at
 from adacom_tpu.parallel.scheduler import TaskScheduler
 
+from conftest import TPU_MODE
+
 
 def _db(n=200_000, segment_rows=8192):
     cfg = at.DBConfig()
@@ -58,7 +60,9 @@ def test_scheduler_exception_propagates():
 
 
 def test_interquery_concurrency():
-    db, con, n = _db(n=100_000)
+    # the tunneled chip charges ~25ms per synchronized dispatch: keep the
+    # TPU lane's segment count small so 30 concurrent queries finish
+    db, con, n = _db(n=20_000 if TPU_MODE else 100_000)
     errors = []
     results = {}
 
@@ -78,7 +82,7 @@ def test_interquery_concurrency():
     for t in threads:
         t.join()
     assert not errors
-    v = np.arange(100_000)
+    v = np.arange(n)
     for k, got in results.items():
         m = v % 17 == k
         assert got == [(int(m.sum()), int(v[m].sum()))]
@@ -86,7 +90,7 @@ def test_interquery_concurrency():
 
 
 def test_concurrent_read_while_compacting():
-    db, con, n = _db(n=150_000)
+    db, con, n = _db(n=24_000 if TPU_MODE else 150_000)
     cat = db.catalog.get_column_segment_catalog()
     stop = threading.Event()
     errors = []
