@@ -717,6 +717,14 @@ class Connection:
                            [_TextDict([value])])
 
     def _execute_describe(self, stmt: ast.DescribeStmt):
+        if not stmt.table:  # SHOW TABLES
+            names = sorted(self.db.catalog.tables) + \
+                sorted(getattr(self.db.catalog, "views", {}))
+            return QueryResult(
+                ["name"], [tt.VARCHAR],
+                [np.arange(len(names), dtype=np.uint32)], [None],
+                [_TextDict(names)],
+            )
         table = self.db.catalog.get_table(stmt.table)
         names = table.column_order
         types = [str(table.columns[c].ltype) for c in names]

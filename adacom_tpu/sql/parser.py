@@ -139,7 +139,10 @@ class _Parser:
             return ast.CheckpointStmt()  # no-op maintenance
         if self.at_kw("DESCRIBE", "SHOW"):
             self.next()
-            return ast.DescribeStmt(self.ident())
+            name = self.ident()
+            if name.upper() == "TABLES":
+                return ast.DescribeStmt("")  # SHOW TABLES: list tables
+            return ast.DescribeStmt(name)
         raise ParserError(f"unexpected token {self.peek().value!r}")
 
     def create_stmt(self) -> ast.Stmt:
