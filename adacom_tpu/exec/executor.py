@@ -284,13 +284,20 @@ class Executor:
     def _table_zonemaps(self, table, col_name):
         col = table.columns[col_name]
         cache = getattr(col, "_zonemap_cache", None)
-        nseg = len(col.segments)
-        if cache is not None and cache[0] == nseg:
+        # the tail segment can be REPLACED in place (unseal-partial +
+        # append reseals it larger with new bounds) without changing the
+        # segment count — key on the tail's identity and count too, or a
+        # stale zonemap hides freshly appended rows from scans/DML
+        # (found by tools/fuzz_dml.py seed 1)
+        tail = col.segments[-1] if col.segments else None
+        key = (len(col.segments), id(tail),
+               tail.count if tail is not None else 0)
+        if cache is not None and cache[0] == key:
             return cache[1], cache[2]
         # longdouble: 64-bit mantissa keeps u64 zonemap bounds exact
         mins = np.array([s.vmin for s in col.segments], dtype=np.longdouble)
         maxs = np.array([s.vmax for s in col.segments], dtype=np.longdouble)
-        col._zonemap_cache = (nseg, mins, maxs)
+        col._zonemap_cache = (key, mins, maxs)
         return mins, maxs
 
     def _scan_batches(self, get: b.LogicalGet, lits):

@@ -444,6 +444,13 @@ class Table:
         if m is None:
             m = np.zeros(seg_rows, dtype=np.bool_)
             self._deletes[seg_idx] = m
+        elif len(m) < seg_rows:
+            # the tail segment was unsealed and re-sealed LARGER after
+            # these rows were deleted (append into a partial segment);
+            # the old prefix rows keep their positions — grow the mask
+            m = np.concatenate(
+                [m, np.zeros(seg_rows - len(m), dtype=np.bool_)])
+            self._deletes[seg_idx] = m
         m[rows] = True
         self._has_deletes = True
 

@@ -163,3 +163,40 @@ def test_data_size_accounting(rng):
     assert packed_size == cat.get_total_data_size()
     t.uncompact_all()
     assert bm.get_data_size() == plain_size
+
+
+def test_zonemap_fresh_after_tail_reseal():
+    """Appending into a partial tail segment re-seals it with new bounds;
+    filtered scans must see the fresh rows (stale-zonemap wrong-results
+    bug found by tools/fuzz_dml.py seed 1)."""
+    import numpy as np
+
+    import adacom_tpu as at
+
+    db = at.Database(config=at.DBConfig(segment_rows=1024))
+    con = db.connect()
+    con.query("CREATE TABLE t(a INTEGER)")
+    con.query("INSERT INTO t VALUES (100), (101)")
+    # a filtered scan caches the zonemaps for the 2-row tail segment
+    assert con.query("SELECT count(*) FROM t WHERE a >= 500").scalar() == 0
+    # append into the SAME tail segment with values outside its old bounds
+    con.query("INSERT INTO t VALUES (900), (901)")
+    assert con.query("SELECT count(*) FROM t WHERE a >= 500").scalar() == 2
+    con.query("DELETE FROM t WHERE a >= 500")
+    assert con.query("SELECT count(*) FROM t").scalar() == 2
+    db.close()
+
+
+def test_dml_fuzz_smoke():
+    """Short randomized DML differential run vs sqlite (the longer sweeps
+    live in tools/fuzz_dml.py)."""
+    import os
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/fuzz_dml.py", "80", "1"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": "."},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
