@@ -192,6 +192,8 @@ class Executor:
     def _dispatch(self, node: b.LogicalOp, lits) -> Mat:
         if isinstance(node, b.LogicalGet):
             return self._materialize_scan(node, lits)
+        if isinstance(node, b.LogicalSample):
+            return self._exec_sample(node, lits)
         if isinstance(node, b.LogicalValues):
             return self._exec_values(node, lits)
         if isinstance(node, b.LogicalFilter):
@@ -601,6 +603,23 @@ class Executor:
                 valids.append(mm if not mm.all() else None)
         dicts = getattr(node, "dicts", [None] * len(node.names))
         return Mat(list(node.names), list(node.types), list(dicts), cols, valids)
+
+    def _exec_sample(self, node: b.LogicalSample, lits) -> Mat:
+        """Deterministic-seed row sample (reservoir-sample parity; a
+        fixed seed keeps repeated queries and verifier variants stable)."""
+        mat = self._exec(node.child, lits)
+        n = mat.nrows
+        rng = np.random.default_rng(0xADAC)
+        if node.is_percent:
+            k = int(round(n * node.amount / 100.0))
+        else:
+            k = min(node.amount, n)
+        if k >= n:
+            return mat
+        idx = np.sort(rng.choice(n, size=k, replace=False))
+        out = mat.take(idx)
+        out.names = list(node.names)
+        return out
 
     def _exec_values(self, node: b.LogicalValues, lits) -> Mat:
         # only used for SELECT without FROM (single row, no columns)

@@ -66,6 +66,32 @@ class QueryResult:
         return [dict(zip(self.names, (col[i] for col in rendered)))
                 for i in range(self.row_count)]
 
+    def fetch_arrow_table(self):
+        """Arrow interop (reference src/common/arrow/*): zero-copy-ish
+        pyarrow.Table of the result."""
+        import pyarrow as pa
+
+        cols = {}
+        for n, t, c, v, d in zip(self.names, self.types, self._cols,
+                                 self._valids, self._dicts):
+            rendered = self._render_col(t, c, v, d)
+            cols[n] = pa.array(list(rendered))
+        return pa.table(cols)
+
+    arrow = fetch_arrow_table
+
+    def fetchdf(self):
+        """pandas DataFrame of the result (pythonpkg .df() parity)."""
+        import pandas as pd
+
+        data = {}
+        for n, t, c, v, d in zip(self.names, self.types, self._cols,
+                                 self._valids, self._dicts):
+            data[n] = list(self._render_col(t, c, v, d))
+        return pd.DataFrame(data)
+
+    df = fetchdf
+
     def fetchone(self) -> Optional[tuple]:
         rows = self.fetchall()
         return rows[0] if rows else None

@@ -158,6 +158,15 @@ class TableFunctionRef(TableRef):
 
 
 @D
+class SampleRef(TableRef):
+    """t USING SAMPLE n [ROWS] / p% / TABLESAMPLE (reference sample
+    operator, src/execution/operator/helper/physical_reservoir_sample)."""
+    ref: TableRef = None
+    amount: object = None   # ast.Literal
+    is_percent: bool = False
+
+
+@D
 class SubqueryRef(TableRef):
     subquery: "SelectStmt"
     alias: str

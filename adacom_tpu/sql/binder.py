@@ -731,6 +731,20 @@ class Binder:
 
     # ================= table refs =================
     def bind_table_ref(self, ref: ast.TableRef) -> Tuple[b.LogicalOp, Scope]:
+        if isinstance(ref, ast.SampleRef):
+            child, scope = self.bind_table_ref(ref.ref)
+            amt = ref.amount
+            if not (isinstance(amt, ast.Literal)
+                    and isinstance(amt.value, (int, float))):
+                raise BindError("SAMPLE amount must be a numeric literal")
+            if amt.param is not None:
+                self.structural.add(amt.param)
+            node = b.LogicalSample(
+                names=list(child.names), types=list(child.types),
+                child=child, amount=int(amt.value),
+                is_percent=ref.is_percent)
+            node.dicts = getattr(child, "dicts", [None] * len(child.names))
+            return node, scope
         if isinstance(ref, ast.BaseTable):
             key = ref.name.lower()
             alias = ref.alias or ref.name

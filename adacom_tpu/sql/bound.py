@@ -262,6 +262,15 @@ class LogicalLimit(LogicalOp):
 
 
 @D
+class LogicalSample(LogicalOp):
+    """Bernoulli/reservoir sample of the child (reference
+    physical_reservoir_sample / sample helper operators)."""
+    child: LogicalOp = None
+    amount: int = 0          # rows (reservoir) or percent numerator
+    is_percent: bool = False
+
+
+@D
 class LogicalTopN(LogicalOp):
     child: LogicalOp = None
     keys: List[Tuple[BExpr, bool, Optional[bool]]] = dataclasses.field(default_factory=list)

@@ -647,9 +647,41 @@ class _Parser:
         alias = None
         if self.accept_kw("AS"):
             alias = self.ident()
-        elif self.peek().kind == IDENT:
+        elif self.peek().kind == IDENT and not self._at_sample():
             alias = self.ident()
-        return ast.BaseTable(name, alias)
+        return self._maybe_sample(ast.BaseTable(name, alias))
+
+    def _at_sample(self) -> bool:
+        t = self.peek()
+        if t.kind == IDENT and str(t.value).upper() == "TABLESAMPLE":
+            return True
+        if t.kind == KW and t.value == "USING":
+            n = self.peek(1)
+            return n.kind == IDENT and str(n.value).upper() == "SAMPLE"
+        return False
+
+    def _maybe_sample(self, ref) -> ast.TableRef:
+        """t USING SAMPLE 10 [ROWS] | USING SAMPLE 5% | TABLESAMPLE ..."""
+        if not self._at_sample():
+            return ref
+        if self.peek().kind == KW:
+            self.next()  # USING
+        self.next()  # SAMPLE / TABLESAMPLE
+        paren = self.accept_op("(")
+        amount = self.unary()  # expr() would eat '%' as modulo
+        is_pct = bool(self.accept_op("%"))
+        if not is_pct and self.peek().kind == IDENT and \
+                str(self.peek().value).upper() == "PERCENT":
+            self.next()
+            is_pct = True
+        if self.peek().kind == KW and self.peek().value == "ROWS":
+            self.next()
+        if paren:
+            self.expect_op(")")
+        if isinstance(amount, ast.Literal) and amount.param is not None:
+            # the sample size shapes the plan
+            self.structural.add(amount.param)
+        return ast.SampleRef(ref, amount, is_pct)
 
     # ------------- expressions -------------
     def expr(self) -> ast.Expr:

@@ -140,3 +140,44 @@ def test_shell_pipe(monkeypatch, capsys, tmp_path):
     assert "CREATE TABLE t" in out
     assert not sh.dot_command(".quit")
     sh.db.close()
+
+
+def test_using_sample():
+    import numpy as np
+
+    import adacom_tpu as at
+
+    db = at.Database()
+    con = db.connect()
+    con.query("CREATE TABLE t(i INTEGER)")
+    app = con.appender("t")
+    app.append_column("i", np.arange(5000, dtype=np.int32))
+    app.close()
+    assert con.query("SELECT count(*) FROM t USING SAMPLE 100").scalar() == 100
+    assert con.query("SELECT count(*) FROM t USING SAMPLE 10%").scalar() == 500
+    assert con.query("SELECT count(*) FROM t TABLESAMPLE 2 PERCENT"
+                     ).scalar() == 100
+    # sampled rows come from the table (values in-domain), deterministic
+    a = con.query("SELECT i FROM t USING SAMPLE 20").fetchall()
+    b = con.query("SELECT i FROM t USING SAMPLE 20").fetchall()
+    assert a == b and all(0 <= r[0] < 5000 for r in a)
+    db.close()
+
+
+def test_arrow_and_dataframe_results():
+    import numpy as np
+
+    import adacom_tpu as at
+
+    db = at.Database()
+    con = db.connect()
+    con.query("CREATE TABLE t(i INTEGER, s VARCHAR)")
+    con.query("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (NULL, 'c')")
+    res = con.query("SELECT i, s FROM t ORDER BY s")
+    tbl = res.fetch_arrow_table()
+    assert tbl.num_rows == 3 and tbl.column_names == ["i", "s"]
+    assert tbl.column("s").to_pylist() == ["a", "b", "c"]
+    df = con.query("SELECT i, s FROM t ORDER BY s").fetchdf()
+    assert list(df.columns) == ["i", "s"] and len(df) == 3
+    assert df["s"].tolist() == ["a", "b", "c"]
+    db.close()
