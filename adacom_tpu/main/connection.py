@@ -38,6 +38,7 @@ class Connection:
         # MVCC identity: write-ownership token + reader visibility key
         self._token = id(self)
         self.executor.conn_token = self._token
+        self._prepared: dict = {}  # name -> PreparedStatement
 
     # ------------------------------------------------------------------
     def query(self, sql: str) -> Optional[QueryResult]:
@@ -71,6 +72,11 @@ class Connection:
 
     execute = query
     sql = query
+
+    def prepare(self, sql: str) -> "PreparedStatement":
+        """Reference Connection::Prepare (src/main/connection.cpp):
+        '?' placeholders become parameters supplied at execute()."""
+        return PreparedStatement(self, sql)
 
     def appender(self, table_name: str):
         from adacom_tpu.main.appender import Appender
@@ -130,6 +136,20 @@ class Connection:
             res = None
         elif isinstance(stmt, ast.DescribeStmt):
             res = self._execute_describe(stmt)
+        elif isinstance(stmt, ast.PrepareStmt):
+            self._prepared[stmt.name.lower()] = PreparedStatement(
+                self, stmt.sql)
+            res = None
+        elif isinstance(stmt, ast.ExecuteStmt):
+            ps = self._prepared.get(stmt.name.lower())
+            if ps is None:
+                raise SQLError(f"no prepared statement {stmt.name!r}")
+            binder = Binder(self.db.catalog, self.db.config)
+            from adacom_tpu.sql.binder import Scope
+
+            scope = Scope()
+            vals = [_const_eval(binder, a, scope) for a in (stmt.args or [])]
+            res = ps.execute(*vals)
         else:
             raise SQLError(f"unsupported statement {type(stmt).__name__}")
         if isinstance(stmt, (ast.InsertStmt, ast.DeleteStmt, ast.UpdateStmt,
@@ -303,7 +323,7 @@ class Connection:
             if len(row) != len(cols):
                 raise SQLError("INSERT arity mismatch")
             for c, e in zip(cols, row):
-                val = _const_eval(binder, e, scope)
+                val = _const_eval(binder, e, scope, lits)
                 data[c].append(val)
                 valid[c].append(val is not None)
         batch = {}
@@ -751,13 +771,19 @@ class _TextDict:
         return len(self._strings)
 
 
-def _const_eval(binder, e, scope):
-    """Evaluate a constant expression from INSERT ... VALUES."""
+def _const_eval(binder, e, scope, lits=()):
+    """Evaluate a constant expression from INSERT ... VALUES; '?'
+    placeholders and parameterized literals read their slot in `lits`."""
+    from adacom_tpu.sql.lexer import PLACEHOLDER
+
     be = binder.bind_expr(e, scope)
     from adacom_tpu.sql import bound as b
 
     def ev(x):
         if isinstance(x, b.BLiteral):
+            if x.param is not None and x.param < len(lits) and \
+                    lits[x.param] is not PLACEHOLDER:
+                return lits[x.param]
             return x.value
         if isinstance(x, b.BUnary) and x.op == "-":
             return -ev(x.operand)
@@ -816,3 +842,38 @@ def _render_plan(plan, indent=0, profile=None) -> str:
         if isinstance(v, b.LogicalOp):
             lines.append(_render_plan(v, indent + 1, profile))
     return "\n".join(lines)
+
+
+class PreparedStatement:
+    """Parse-once statement with '?' parameter slots (reference
+    PreparedStatement, src/main/prepared_statement.cpp). The engine's
+    literal-parameterized plan cache makes execution a pure cache hit:
+    binding happened once, values flow through the literal slots."""
+
+    def __init__(self, connection, sql: str):
+        from adacom_tpu.sql.lexer import PLACEHOLDER
+        from adacom_tpu.sql.parser import parse
+
+        self.con = connection
+        self.sql = sql
+        self._parsed = parse(sql)
+        _stmts, _key, lits, _structural = self._parsed
+        self.n_params = sum(1 for v in lits if v is PLACEHOLDER)
+        self._slots = [i for i, v in enumerate(lits) if v is PLACEHOLDER]
+
+    def execute(self, *params):
+        if len(params) != self.n_params:
+            raise SQLError(
+                f"prepared statement takes {self.n_params} parameters, "
+                f"got {len(params)}")
+        stmts, key, lits, structural = self._parsed
+        lits2 = list(lits)
+        for s, p in zip(self._slots, params):
+            lits2[s] = p
+        res = None
+        for i, stmt in enumerate(stmts):
+            res = self.con._execute_stmt(stmt, key, lits2, structural, i,
+                                         self.sql)
+        return res
+
+    __call__ = execute

@@ -215,6 +215,18 @@ class CreateTableStmt(Stmt):
 
 
 @D
+class PrepareStmt(Stmt):
+    name: str = ""
+    sql: str = ""   # the prepared statement's own SQL text
+
+
+@D
+class ExecuteStmt(Stmt):
+    name: str = ""
+    args: list = None
+
+
+@D
 class CreateIndexStmt(Stmt):
     name: str
     table: str

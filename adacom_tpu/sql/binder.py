@@ -1091,6 +1091,11 @@ class Binder:
             lit = b.BLiteral(tt.BIGINT, iv)
             lit.is_interval = True
             return lit
+        if e.type_hint == "PARAM":
+            # '?' placeholder: value arrives at execution via the literal
+            # slot; numeric context assumed (string/dict predicates need
+            # bind-time values and are not preparable)
+            return b.BLiteral(tt.BIGINT, None, e.param)
         if v is None:
             return b.BLiteral(tt.INTEGER, None)
         if isinstance(v, bool):

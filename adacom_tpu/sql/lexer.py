@@ -32,6 +32,16 @@ KEYWORDS = {
 # token kinds
 IDENT, KW, NUM, STR, OP, EOF = "IDENT", "KW", "NUM", "STR", "OP", "EOF"
 
+
+class _Placeholder:
+    """Sentinel literal value for '?' slots (replaced at EXECUTE)."""
+
+    def __repr__(self):
+        return "?"
+
+
+PLACEHOLDER = _Placeholder()
+
 _OPS = [
     "::", "<=", ">=", "<>", "!=", "==", "||", "<", ">", "=", "(", ")", ",",
     "+", "-", "*", "/", "%", ".", ";",
@@ -132,6 +142,14 @@ def tokenize(sql: str) -> Tuple[List[Token], Tuple, List]:
                 toks.append(Token(IDENT, word, i))
                 key.append((IDENT, word.lower()))
             i = j
+            continue
+        if c == "?":
+            # prepared-statement placeholder: a parameter slot whose value
+            # arrives at EXECUTE time (PEP 249 qmark / PREPARE..EXECUTE)
+            toks.append(Token(NUM, "?", i, param=len(lits)))
+            key.append(("NUM", "?"))
+            lits.append(PLACEHOLDER)
+            i += 1
             continue
         matched = None
         for op in _OPS:

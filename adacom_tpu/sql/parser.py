@@ -137,6 +137,22 @@ class _Parser:
         if self.at_kw("VACUUM", "ANALYZE"):
             self.next()
             return ast.CheckpointStmt()  # no-op maintenance
+        if self.at_kw("PREPARE"):
+            self.next()
+            name = self.ident()
+            self.expect_kw("AS")
+            start = self.peek().pos
+            self.select_or_dml_skip()
+            return ast.PrepareStmt(name, self._slice_sql(start))
+        if self.at_kw("EXECUTE"):
+            self.next()
+            name = self.ident()
+            args = []
+            if self.accept_op("("):
+                while not self.accept_op(")"):
+                    args.append(self.expr())
+                    self.accept_op(",")
+            return ast.ExecuteStmt(name, args)
         if self.at_kw("DESCRIBE", "SHOW"):
             self.next()
             name = self.ident()
@@ -144,6 +160,12 @@ class _Parser:
                 return ast.DescribeStmt("")  # SHOW TABLES: list tables
             return ast.DescribeStmt(name)
         raise ParserError(f"unexpected token {self.peek().value!r}")
+
+    def select_or_dml_skip(self) -> None:
+        """Consume the prepared body (any statement) up to ';'/EOF; the
+        captured TEXT re-parses inside PreparedStatement."""
+        while not self.at(EOF) and not self.at(OP, ";"):
+            self.next()
 
     def create_stmt(self) -> ast.Stmt:
         self.expect_kw("CREATE")
@@ -795,6 +817,10 @@ class _Parser:
         t = self.peek()
         if t.kind == NUM:
             self.next()
+            if t.value == "?":
+                # placeholder: type resolves from context at bind; the
+                # value is pure parameter (never structural)
+                return ast.Literal(None, param=t.param, type_hint="PARAM")
             return ast.Literal(_num(t), param=t.param)
         if t.kind == STR:
             self.next()

@@ -181,3 +181,41 @@ def test_arrow_and_dataframe_results():
     assert list(df.columns) == ["i", "s"] and len(df) == 3
     assert df["s"].tolist() == ["a", "b", "c"]
     db.close()
+
+
+def test_prepared_statements():
+    """Connection.prepare + SQL PREPARE/EXECUTE with ? parameters
+    (reference PreparedStatement, src/main/prepared_statement.cpp)."""
+    import numpy as np
+
+    import adacom_tpu as at
+    from adacom_tpu.main.connection import SQLError
+
+    db = at.Database()
+    con = db.connect()
+    con.query("CREATE TABLE t(i INTEGER)")
+    app = con.appender("t")
+    app.append_column("i", np.arange(1000, dtype=np.int32))
+    app.close()
+    ps = con.prepare("SELECT count(*), sum(i) FROM t WHERE i >= ? AND i < ?")
+    assert ps.n_params == 2
+    r = ps.execute(10, 20).fetchone()
+    assert (int(r[0]), int(r[1])) == (10, sum(range(10, 20)))
+    r = ps(0, 1000).fetchone()
+    assert int(r[0]) == 1000
+    try:
+        ps.execute(1)
+        raised = False
+    except SQLError:
+        raised = True
+    assert raised
+    # SQL-level PREPARE / EXECUTE
+    con.query("PREPARE q AS SELECT count(*) FROM t WHERE i < ?")
+    assert con.query("EXECUTE q(50)").scalar() == 50
+    assert con.query("EXECUTE q(700)").scalar() == 700
+    # DML prepared statements
+    ins = con.prepare("INSERT INTO t VALUES (?)")
+    ins.execute(5000)
+    ins.execute(5001)
+    assert con.query("SELECT count(*) FROM t WHERE i >= 5000").scalar() == 2
+    db.close()
