@@ -106,6 +106,13 @@ def test_tpu_profile_trace_pragmas(tmp_path):
     observability — SURVEY §5.1 'per-op wall counters + jax traces')."""
     import os
 
+    import jax
+    import pytest
+
+    if jax.default_backend() not in ("cpu", "tpu"):
+        # the tunneled axon runtime wedges on profiler start/stop
+        pytest.skip("jax profiler unsupported on this backend")
+
     db, con = _db()
     d = str(tmp_path / "trace")
     con.query(f"PRAGMA tpu_profile_start('{d}')")
