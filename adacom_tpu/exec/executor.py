@@ -622,8 +622,42 @@ class Executor:
         return out
 
     def _exec_values(self, node: b.LogicalValues, lits) -> Mat:
-        # only used for SELECT without FROM (single row, no columns)
-        return Mat([], [], [], [], [])
+        if not node.names:
+            # SELECT without FROM: single row, no columns
+            return Mat([], [], [], [], [])
+        # (VALUES ...) table ref: literal rows materialize as columns
+        # (reference value_relation / expression lists)
+        cols: List[np.ndarray] = []
+        valids: List[Optional[np.ndarray]] = []
+        dicts: List[Any] = []
+        for ci, ty in enumerate(node.types):
+            vals = []
+            for row in node.rows:
+                ex = row[ci]
+                if not isinstance(ex, b.BLiteral):
+                    raise ExecError("VALUES cells must be literals")
+                v = lits[ex.param] if ex.param is not None else ex.value
+                vals.append(v)
+            mask = np.asarray([v is not None for v in vals])
+            if ty.is_string:
+                # cells are dictionary CODES (binder encoded the strings)
+                cols.append(np.asarray(
+                    [0 if v is None else int(v) for v in vals],
+                    dtype=np.uint32))
+                dicts.append(getattr(node, "dicts",
+                                     [None] * len(node.names))[ci])
+            else:
+                dt = compute_dtype_of(ty)
+                scale = 10 ** ty.scale if ty.name == "DECIMAL" else 1
+                arr = np.asarray([
+                    0 if v is None else
+                    (int(round(float(v) * scale)) if scale != 1 else v)
+                    for v in vals]).astype(dt)
+                cols.append(arr)
+                dicts.append(None)
+            valids.append(None if mask.all() else mask)
+        mat = Mat(list(node.names), list(node.types), dicts, cols, valids)
+        return mat
 
     # ==================================================================
     # aggregation

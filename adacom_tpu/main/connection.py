@@ -73,6 +73,32 @@ class Connection:
     execute = query
     sql = query
 
+    def table(self, name: str):
+        """Relation API root (reference Connection::Table,
+        src/main/connection.cpp): lazy composable query building."""
+        from adacom_tpu.main.relation import Relation
+
+        self.db.catalog.get_table(name)  # existence check
+        return Relation(self, f"SELECT * FROM {name}")
+
+    def from_query(self, sql: str):
+        from adacom_tpu.main.relation import Relation
+
+        return Relation(self, sql)
+
+    def values(self, rows):
+        """Relation over literal rows (reference Connection::Values)."""
+        from adacom_tpu.main.relation import Relation
+
+        body = ", ".join(
+            "(" + ", ".join(
+                "NULL" if v is None else
+                (f"'" + str(v).replace("'", "''") + "'"
+                 if isinstance(v, str) else repr(v))
+                for v in row) + ")"
+            for row in rows)
+        return Relation(self, f"SELECT * FROM (VALUES {body}) __v")
+
     def prepare(self, sql: str) -> "PreparedStatement":
         """Reference Connection::Prepare (src/main/connection.cpp):
         '?' placeholders become parameters supplied at execute()."""

@@ -167,6 +167,12 @@ class SampleRef(TableRef):
 
 
 @D
+class ValuesRef(TableRef):
+    rows: list = None   # list of list[Expr]
+    alias: Optional[str] = None
+
+
+@D
 class SubqueryRef(TableRef):
     subquery: "SelectStmt"
     alias: str

@@ -731,6 +731,48 @@ class Binder:
 
     # ================= table refs =================
     def bind_table_ref(self, ref: ast.TableRef) -> Tuple[b.LogicalOp, Scope]:
+        if isinstance(ref, ast.ValuesRef):
+            # (VALUES (..), (..)) AS v — columns named col0..colN
+            # (reference: Connection::Values / value_relation.cpp)
+            rows_b = [[self.bind_expr(e, Scope()) for e in row]
+                      for row in ref.rows]
+            if not rows_b or any(len(r) != len(rows_b[0]) for r in rows_b):
+                raise BindError("VALUES rows must be non-empty and aligned")
+            types = []
+            for ci in range(len(rows_b[0])):
+                ty = None
+                for r in rows_b:
+                    e = r[ci]
+                    if not (isinstance(e, b.BLiteral) and e.value is None):
+                        ty = e.ty if ty is None else tt.common_type(ty, e.ty)
+                types.append(ty or tt.INTEGER)
+            names = [f"col{ci}" for ci in range(len(rows_b[0]))]
+            # VARCHAR columns dictionary-encode at bind time (string
+            # literal values are baked -> structural), so downstream
+            # operators see ordinary dict-coded columns
+            from adacom_tpu.storage.table import StringDictionary
+
+            dicts = []
+            for ci, ty in enumerate(types):
+                if not (ty is not None and ty.is_string):
+                    dicts.append(None)
+                    continue
+                d = StringDictionary()
+                for r in rows_b:
+                    e = r[ci]
+                    if not isinstance(e, b.BLiteral):
+                        raise BindError("VALUES cells must be literals")
+                    if e.value is None:
+                        continue
+                    if e.param is not None:
+                        self.structural.add(e.param)
+                    r[ci] = b.BLiteral(tt.VARCHAR,
+                                       d.encode_one(str(e.value)))
+                dicts.append(d)
+            node = b.LogicalValues(names=names, types=types, rows=rows_b)
+            node.dicts = dicts
+            alias = ref.alias or "values"
+            return node, Scope.from_op(node, alias)
         if isinstance(ref, ast.SampleRef):
             child, scope = self.bind_table_ref(ref.ref)
             amt = ref.amount

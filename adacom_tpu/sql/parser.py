@@ -641,6 +641,25 @@ class _Parser:
 
     def table_ref(self) -> ast.TableRef:
         if self.accept_op("("):
+            if self.at_kw("VALUES"):
+                self.next()
+                rows = []
+                while True:
+                    self.expect_op("(")
+                    row = [self.expr()]
+                    while self.accept_op(","):
+                        row.append(self.expr())
+                    self.expect_op(")")
+                    rows.append(row)
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                alias = None
+                if self.accept_kw("AS"):
+                    alias = self.ident()
+                elif self.peek().kind == IDENT:
+                    alias = self.ident()
+                return ast.ValuesRef(rows, alias)
             sub = self.select_stmt()
             self.expect_op(")")
             had_as = bool(self.accept_kw("AS"))

@@ -219,3 +219,35 @@ def test_prepared_statements():
     ins.execute(5001)
     assert con.query("SELECT count(*) FROM t WHERE i >= 5000").scalar() == 2
     db.close()
+
+
+def test_relation_api():
+    """Composable Relation API (reference src/main/relation.cpp)."""
+    import numpy as np
+
+    import adacom_tpu as at
+
+    db = at.Database()
+    con = db.connect()
+    con.query("CREATE TABLE t(g INTEGER, v INTEGER)")
+    app = con.appender("t")
+    app.append_columns({"g": (np.arange(1000) % 5).astype(np.int32),
+                        "v": np.arange(1000, dtype=np.int32)})
+    app.close()
+    r = (con.table("t").filter("v >= 100")
+         .aggregate("g, sum(v) AS s, count(*) AS c", "g").order("g"))
+    rows = r.fetchall()
+    assert len(rows) == 5 and int(rows[0][2]) == 180
+    assert con.table("t").count() == 1000
+    assert con.table("t").filter("v < 10").project("v").limit(3).count() == 3
+    j = con.table("t").join(
+        con.table("t").project("g AS g2, v AS v2"), "g = g2")
+    assert j.count() == 200_000
+    assert "Aggregate" in r.explain()
+    r.create_view("vw")
+    assert con.query("SELECT count(*) FROM vw").scalar() == 5
+    # VALUES relation + (VALUES ...) table ref
+    assert con.values([(1, "a"), (2, "b")]).fetchall() == [(1, "a"), (2, "b")]
+    assert con.query(
+        "SELECT sum(col0) FROM (VALUES (1), (2), (3)) v").scalar() == 6
+    db.close()
