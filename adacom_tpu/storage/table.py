@@ -436,9 +436,11 @@ class Table:
         for c in self.column_order:
             self.columns[c].flush()
 
-    def mark_deleted(self, seg_idx: int, rows: np.ndarray):
-        if self.wal is not None:
-            self.wal.log_delete(self.name, seg_idx, rows)
+    def mark_deleted(self, seg_idx: int, rows: np.ndarray, _log=True):
+        if self.wal is not None and _log:
+            col0 = self.columns[self.column_order[0]]
+            self.wal.log_delete(self.name, seg_idx, rows,
+                                col0.segments[seg_idx].start_row)
         seg_rows = self.segment_rows(seg_idx)
         m = self._deletes.get(seg_idx)
         if m is None:

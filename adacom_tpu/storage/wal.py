@@ -116,9 +116,16 @@ class WriteAheadLog:
                 arrays[f"v.{c}"] = np.asarray(validity[c], dtype=bool)
         self._emit({"op": "insert", "table": table, "cols": cols}, arrays)
 
-    def log_delete(self, table: str, seg_idx: int, rows: np.ndarray):
-        self._emit({"op": "delete", "table": table, "seg": int(seg_idx)},
-                   {"rows": np.asarray(rows, dtype=np.int64)})
+    def log_delete(self, table: str, seg_idx: int, rows: np.ndarray,
+                   start_row: int = 0):
+        # GLOBAL row positions: replay re-segments by its own flush
+        # timing (the original sealing depended on scan-triggered flushes
+        # and txn no-unseal windows), so physical (segment, local-row)
+        # coordinates do not survive; global offsets do — appends only
+        # ever append and rolled-back txns never reach the log
+        self._emit({"op": "delete", "table": table},
+                   {"rows": np.asarray(rows, dtype=np.int64)
+                    + np.int64(start_row)})
 
     # ------------------------------------------------------------------
     def size(self) -> int:
@@ -202,6 +209,15 @@ def replay(db, path: str) -> int:
         elif op == "delete":
             table = db.catalog.get_table(header["table"])
             table.flush()
-            table.mark_deleted(header["seg"], z["rows"])
+            # map global row positions onto the replay's segmentation
+            col0 = table.columns[table.column_order[0]]
+            grows = np.sort(z["rows"])
+            starts = np.cumsum([0] + [s.count for s in col0.segments])
+            seg_of = np.searchsorted(starts, grows, side="right") - 1
+            for si in np.unique(seg_of):
+                local = grows[seg_of == si] - starts[si]
+                table.mark_deleted(int(si), local, _log=False)
+            applied += 1
+            continue
         applied += 1
     return applied

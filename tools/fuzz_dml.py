@@ -3,7 +3,11 @@
 (sometimes inside explicit transactions with random COMMIT/ROLLBACK)
 interleaved with SELECT checks; final table state compared row-for-row.
 
-Usage: python tools/fuzz_dml.py [n_ops] [seed]"""
+With a third argument "durable", ops run against an on-disk database
+and the final comparison happens on a FRESH REOPEN (WAL replay + last
+checkpoint), differential-testing crash recovery.
+
+Usage: python tools/fuzz_dml.py [n_ops] [seed] [durable]"""
 import sqlite3
 import sys
 
@@ -24,8 +28,14 @@ def norm(rows):
 def main():
     n_ops = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    durable = len(sys.argv) > 3 and sys.argv[3] == "durable"
     rng = np.random.default_rng(seed)
-    db = at.Database(config=at.DBConfig(segment_rows=1024))
+    path = None
+    if durable:
+        import tempfile
+
+        path = tempfile.mkdtemp() + "/db"
+    db = at.Database(path=path, config=at.DBConfig(segment_rows=1024))
     con = db.connect()
     con.query("CREATE TABLE t(a INTEGER, b INTEGER)")
     lite = sqlite3.connect(":memory:")
@@ -75,12 +85,18 @@ def main():
     if in_txn:
         con.query("COMMIT")
         lite.execute("COMMIT")
+    if durable:
+        # abandon without checkpoint: reopen replays the WAL
+        db.close_abrupt() if hasattr(db, "close_abrupt") else None
+        db = at.Database(path=path, config=at.DBConfig(segment_rows=1024))
+        con = db.connect()
     got = norm(con.query("SELECT a, b FROM t").fetchall())
     exp = norm(lite.execute("SELECT a, b FROM t").fetchall())
     if got != exp:
         print(f"FINAL MISMATCH {len(got)} vs {len(exp)}")
         return 1
-    print(f"{n_ops} DML ops, state matches ({len(got)} rows)")
+    print(f"{n_ops} DML ops{' +replay' if durable else ''}, "
+          f"state matches ({len(got)} rows)")
     return 0
 
 
