@@ -1630,6 +1630,10 @@ def _bexpr_eq(a: b.BExpr, x: b.BExpr, slots: list | None = None) -> bool:
         return _bexpr_eq(a.operand, x.operand, slots) and \
             list(a.dictionary.strings_array()) == \
             list(x.dictionary.strings_array())
+    if isinstance(a, b.BInList):
+        return a.negated == x.negated and len(a.items) == len(x.items) and \
+            _bexpr_eq(a.operand, x.operand, slots) and all(
+                _bexpr_eq(p, q, slots) for p, q in zip(a.items, x.items))
     if isinstance(a, b.BCase):
         if (a.else_ is None) != (x.else_ is None) or \
                 len(a.whens) != len(x.whens):

@@ -67,10 +67,33 @@ def gen_query(rng):
     elif kind < 0.9:
         q = (f"SELECT a, b FROM t WHERE {gen_pred(rng)} "
              f"ORDER BY a, b, c LIMIT {int(rng.integers(1, 50))}")
-    else:
+    elif kind < 0.92:
         q = (f"SELECT t1.b, count(*) FROM t t1 JOIN t t2 ON t1.b = t2.b "
              f"WHERE t1.a {CMP[rng.integers(0, 6)]} {int(rng.integers(-50, 50))} "
              f"GROUP BY t1.b ORDER BY t1.b")
+    elif kind < 0.94:
+        # CTE + HAVING
+        q = (f"WITH x AS (SELECT b, sum(a) AS sa, count(*) AS c FROM t "
+             f"WHERE {gen_pred(rng)} GROUP BY b) "
+             f"SELECT b, sa FROM x WHERE c > {int(rng.integers(1, 50))} "
+             f"ORDER BY b")
+    elif kind < 0.96:
+        # window function over a filtered subset
+        q = (f"SELECT a, b, row_number() OVER (PARTITION BY b ORDER BY a, c)"
+             f" AS rn FROM t WHERE {gen_pred(rng)} ORDER BY a, b, c "
+             f"LIMIT 40")
+    elif kind < 0.98:
+        # set operation
+        lo1, lo2 = int(rng.integers(-50, 0)), int(rng.integers(0, 50))
+        op = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"][
+            rng.integers(0, 4)]
+        q = (f"SELECT b FROM t WHERE a < {lo1} {op} "
+             f"SELECT b FROM t WHERE a > {lo2} ORDER BY b")
+    else:
+        # CASE + IN list aggregation
+        vals = ", ".join(str(int(v)) for v in rng.integers(0, 10, 3))
+        q = (f"SELECT CASE WHEN b IN ({vals}) THEN 1 ELSE 0 END AS k, "
+             f"count(*), sum(a) FROM t GROUP BY k ORDER BY k")
     return q
 
 
