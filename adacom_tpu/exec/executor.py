@@ -236,25 +236,22 @@ class Executor:
         get._filter_cc = cc
         return cc
 
-    def _zonemap_candidates(self, get: b.LogicalGet, lits) -> List[int]:
-        """Vectorized segment skipping from (col op literal) conjuncts.
-        Also the MVCC visibility gate: while another connection's
-        transaction writes this table, only segments below the committed
-        watermark are candidates (the writer's own appends create fresh
-        segments, so the watermark lies on a segment boundary)."""
-        table = get.table
-        n_seg = table.segment_count()
-        limit, _dels = table.snapshot_for(getattr(self, "conn_token", None))
-        if limit is not None:
-            total = 0
-            vis = 0
-            col0 = table.columns[table.column_order[0]]
-            for seg in col0.segments:
-                if total + seg.count > limit:
-                    break
-                total += seg.count
-                vis += 1
-            n_seg = vis
+    def _pin_snapshot(self, table):
+        """Pin a consistent TableSnapshot for this scan (storage/table.py
+        TableSnapshot): segment tuples + delete masks captured atomically,
+        MVCC-clamped to the committed watermark for non-owning readers.
+        Every reader access below resolves through the snapshot — live
+        ``columns[c].segments`` lists mutate under concurrent appends
+        (unseal-partial pops the tail) and raced the round-4 scans."""
+        return table.read_snapshot(getattr(self, "conn_token", None))
+
+    def _zonemap_candidates(self, get: b.LogicalGet, lits, snap=None) -> List[int]:
+        """Vectorized segment skipping from (col op literal) conjuncts
+        over a pinned snapshot (the snapshot already applies the MVCC
+        committed-watermark clamp)."""
+        if snap is None:
+            snap = self._pin_snapshot(get.table)
+        n_seg = snap.segment_count()
         keep = np.ones(n_seg, dtype=bool)
         for f in get.filters:
             probe = _zonemap_probe(f, lits)
@@ -262,7 +259,7 @@ class Executor:
                 continue
             col_idx, op, val = probe
             col_name = get.column_ids[col_idx]
-            mins, maxs = self._table_zonemaps(table, col_name)
+            mins, maxs = self._table_zonemaps(get.table, col_name, snap)
             if op == "=":
                 keep &= (mins[:n_seg] <= val) & (val <= maxs[:n_seg])
             elif op in ("<", "<="):
@@ -283,7 +280,9 @@ class Executor:
             return dels.get(i)
         return table.delete_mask(i)
 
-    def _table_zonemaps(self, table, col_name):
+    def _table_zonemaps(self, table, col_name, snap=None):
+        segs = snap.segments(col_name) if snap is not None \
+            else tuple(table.columns[col_name].segments)
         col = table.columns[col_name]
         cache = getattr(col, "_zonemap_cache", None)
         # the tail segment can be REPLACED in place (unseal-partial +
@@ -291,14 +290,13 @@ class Executor:
         # segment count — key on the tail's identity and count too, or a
         # stale zonemap hides freshly appended rows from scans/DML
         # (found by tools/fuzz_dml.py seed 1)
-        tail = col.segments[-1] if col.segments else None
-        key = (len(col.segments), id(tail),
-               tail.count if tail is not None else 0)
+        tail = segs[-1] if segs else None
+        key = (len(segs), id(tail), tail.count if tail is not None else 0)
         if cache is not None and cache[0] == key:
             return cache[1], cache[2]
         # longdouble: 64-bit mantissa keeps u64 zonemap bounds exact
-        mins = np.array([s.vmin for s in col.segments], dtype=np.longdouble)
-        maxs = np.array([s.vmax for s in col.segments], dtype=np.longdouble)
+        mins = np.array([s.vmin for s in segs], dtype=np.longdouble)
+        maxs = np.array([s.vmax for s in segs], dtype=np.longdouble)
         col._zonemap_cache = (key, mins, maxs)
         return mins, maxs
 
@@ -307,17 +305,16 @@ class Executor:
 
         kernel_output = (mask, cols) with cols = list[(values, valid|None)],
         all padded to the segment's lane-padded length, still on device."""
-        table = get.table
-        table.flush()
+        snap = self._pin_snapshot(get.table)
         filt = self._compiled_filter(get)
         params = filt.prep_args(lits) if filt is not None else ()
-        candidates = self._zonemap_candidates(get, lits)
+        candidates = self._zonemap_candidates(get, lits, snap)
         kernels = getattr(get, "_scan_kernels", None)
         if kernels is None:
             kernels = get._scan_kernels = {}
         for i in candidates:
-            segs = [table.segment(c, i) for c in get.column_ids]
-            count = segs[0].count if segs else table.segment_rows(i)
+            segs = [snap.segment(c, i) for c in get.column_ids]
+            count = segs[0].count if segs else snap.segment_rows(i)
             metas = []
             arrays = []
             for s in segs:
@@ -330,7 +327,7 @@ class Executor:
                     meta = (meta, None)
                 metas.append(meta)
                 arrays.extend(arrs)
-            del_mask = self._vis_delete_mask(table, i)
+            del_mask = snap.delete_mask(i)
             has_del = del_mask is not None
             n_pad = bitpack.ROWS * bitpack.lanes_for(count)
             key = (tuple(metas), n_pad, has_del, filt is not None)
@@ -356,14 +353,16 @@ class Executor:
         limit = self.config.host_scan_segment_limit
         candidates = None
         if (limit and get.filters) or self.config.host_materialize:
-            candidates = self._zonemap_candidates(get, lits)
+            snap = self._pin_snapshot(get.table)
+            candidates = self._zonemap_candidates(get, lits, snap)
             if self.config.host_materialize or len(candidates) <= limit:
-                mat = self._materialize_scan_host(get, lits, candidates)
+                mat = self._materialize_scan_host(get, lits, candidates, snap)
                 if mat is not None:
                     return mat
         return self._materialize_scan_device(get, lits)
 
-    def _materialize_scan_host(self, get: b.LogicalGet, lits, candidates) -> Optional[Mat]:
+    def _materialize_scan_host(self, get: b.LogicalGet, lits, candidates,
+                               snap) -> Optional[Mat]:
         """NumPy evaluation over segment host copies; returns None when the
         compiled filter doesn't stay in numpy (e.g. dict LUT gathers) —
         caller falls back to the device path."""
@@ -391,13 +390,13 @@ class Executor:
         def scan_morsel(i):
             """One segment = one morsel (reference NextParallelScan hands
             out one row group per task, row_group_collection.cpp:112)."""
-            segs = [table.segment(c, i) for c in get.column_ids]
+            segs = [snap.segment(c, i) for c in get.column_ids]
             cols = []
             for s in segs:
                 hv = s.host_plain()
                 hvv = s.host_validity()
                 cols.append((hv, hvv))
-            dm = self._vis_delete_mask(table, i)
+            dm = snap.delete_mask(i)
             rows = None
             if index_hits is not None:
                 rows = index_hits[i]
@@ -980,15 +979,15 @@ class Executor:
             empty = True
 
         table = get.table
-        table.flush()
+        snap = self._pin_snapshot(table)
         col_name = get.column_ids[0]
         # eligibility sweep BEFORE touching device state
-        candidates = self._zonemap_candidates(get, lits)
+        candidates = self._zonemap_candidates(get, lits, snap)
         segs = []
         for i in candidates:
-            if self._vis_delete_mask(table, i) is not None:
+            if snap.delete_mask(i) is not None:
                 return None
-            s = table.segment(col_name, i)
+            s = snap.segment(col_name, i)
             if not s.is_compacted() or s.codec not in (None, "succinct"):
                 return None
             segs.append(s)
@@ -1158,15 +1157,15 @@ class Executor:
             empty = True
 
         table = get.table
-        table.flush()
+        snap = self._pin_snapshot(table)
         g_name, v_name = get.column_ids[gi], get.column_ids[vi]
-        candidates = self._zonemap_candidates(get, lits)
+        candidates = self._zonemap_candidates(get, lits, snap)
         pairs = []
         for i in candidates:
-            if self._vis_delete_mask(table, i) is not None:
+            if snap.delete_mask(i) is not None:
                 return None
-            sg = table.segment(g_name, i)
-            sv = table.segment(v_name, i)
+            sg = snap.segment(g_name, i)
+            sv = snap.segment(v_name, i)
             for s in (sg, sv):
                 if s._validity_np is not None or not s.is_compacted() or \
                         s.codec not in (None, "succinct"):
@@ -1252,13 +1251,13 @@ class Executor:
         representation class instead of one per segment (the reference's
         morsel loop, amortized; pool stacks are cached across queries)."""
         table = get.table
-        table.flush()
+        snap = self._pin_snapshot(table)
         filt = self._compiled_filter(get)
         fparams = filt.prep_args(lits) if filt is not None else ()
         per_segment = []
         pools: Dict[tuple, list] = {}
-        for i in self._zonemap_candidates(get, lits):
-            segs = [table.segment(c, i) for c in get.column_ids]
+        for i in self._zonemap_candidates(get, lits, snap):
+            segs = [snap.segment(c, i) for c in get.column_ids]
             count = segs[0].count if segs else 0
             metas, arrays = [], []
             for s in segs:
@@ -1271,7 +1270,7 @@ class Executor:
                     meta = (meta, None)
                 metas.append(meta)
                 arrays.extend(arrs)
-            del_mask = self._vis_delete_mask(table, i)
+            del_mask = snap.delete_mask(i)
             has_del = del_mask is not None
             n_pad = bitpack.ROWS * bitpack.lanes_for(count)
             key = (tuple(metas), n_pad, has_del)
@@ -1661,7 +1660,7 @@ class Executor:
         get = node.left
         jt = node.join_type
         table = get.table
-        table.flush()
+        snap = self._pin_snapshot(table)
         # build-side keys, hashed once
         rkeys = []
         for _le, re_ in node.conditions:
@@ -1683,12 +1682,12 @@ class Executor:
             return None
         filt = self._compiled_filter(get)
         params = filt.prep_args(lits) if filt is not None else ()
-        candidates = self._zonemap_candidates(get, lits)
+        candidates = self._zonemap_candidates(get, lits, snap)
         lexprs = [le for le, _re in node.conditions]
         dicts = getattr(get, "dicts", [None] * len(get.names))
 
         def probe_morsel(i):
-            segs = [table.segment(c, i) for c in get.column_ids]
+            segs = [snap.segment(c, i) for c in get.column_ids]
             cols = [(s.host_plain(), s.host_validity()) for s in segs]
             n = segs[0].count if segs else 0
             mask = None
@@ -1700,7 +1699,7 @@ class Executor:
                 if not isinstance(fv, np.ndarray):
                     raise _FallbackToDevice()
                 mask = fv if fm is None else (fv & fm)
-            dm = self._vis_delete_mask(table, i)
+            dm = snap.delete_mask(i)
             if dm is not None:
                 dmx = np.zeros(n, dtype=bool)
                 dmx[: min(len(dm), n)] = dm[:n]
@@ -1828,21 +1827,24 @@ class Executor:
             if lm is not None:
                 lv = np.where(np.asarray(lm), lv, _null_key(lv.dtype))
             probes.append(lv)
-        get.table.flush()
+        snap = self._pin_snapshot(get.table)
         hits = idx.lookup_eq_batch(probes if idx.composite else probes[0])
         seg_rows = []
         arrays: List[List[np.ndarray]] = [[] for _ in get.column_ids]
         valids: List[List[Optional[np.ndarray]]] = [[] for _ in get.column_ids]
         any_valid = [False] * len(get.column_ids)
+        n_vis = snap.segment_count()
         for seg_idx, rows in hits:
-            dm = self._vis_delete_mask(get.table, seg_idx)
+            if seg_idx >= n_vis:
+                continue  # index saw segments sealed after the snapshot
+            dm = snap.delete_mask(seg_idx)
             if dm is not None:
                 inb = rows < len(dm)
                 keep = np.ones(len(rows), dtype=bool)
                 keep[inb] = ~dm[rows[inb]]
                 rows = rows[keep]
             for ci, cname in enumerate(get.column_ids):
-                seg = get.table.segment(cname, seg_idx)
+                seg = snap.segment(cname, seg_idx)
                 hv = seg.host_plain()
                 arrays[ci].append(hv[rows])
                 v = seg.host_validity()

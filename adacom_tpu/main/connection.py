@@ -422,15 +422,17 @@ class Connection:
         table = self.db.catalog.get_table(stmt.table)
         self._txn_touch(table)
         if stmt.where is None:
-            # truncate
-            self.db.catalog.drop_table(stmt.table)
-            self.db.catalog.create_table(
-                stmt.table, [(c, table.columns[c].ltype) for c in table.column_order]
-            )
+            # truncate IN PLACE: indexes and views on the table survive
+            # (the old drop-and-recreate silently lost UNIQUE enforcement)
+            table.truncate()
             self._bump_catalog_version()
             return None
-        for table_, i, rows in self._filter_row_matches(stmt.table, stmt.where, lits):
-            table_.mark_deleted(i, rows)
+        # collect matches first, publish once: the statement's delete masks
+        # become visible to reader snapshots atomically
+        updates = [(i, rows) for _t, i, rows
+                   in self._filter_row_matches(stmt.table, stmt.where, lits)]
+        if updates:
+            table.mark_deleted_many(updates)
         return None
 
     def _execute_update(self, stmt: ast.UpdateStmt, lits=()):

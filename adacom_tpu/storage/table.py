@@ -174,6 +174,46 @@ class TransactionConflict(Exception):
     """Write-write conflict (reference TransactionException on conflict)."""
 
 
+class TableSnapshot:
+    """Consistent read view of a table: per-column segment tuples + a
+    pinned delete-mask dict, captured atomically under the append lock.
+
+    Fixes the reference's scan-vs-compaction races (SURVEY §2.1 known
+    defects; the fork mutates segment state under concurrent scans with
+    only ``bit_compression_lock``) AND this engine's own round-4 race: a
+    candidate list from zonemap probing outlived a concurrent
+    ``unseal_last_partial`` segment-list pop, so ``columns[c].segments[i]``
+    threw IndexError mid-scan. Readers now resolve every segment through
+    the snapshot; writers never mutate a snapshotted tuple. Delete masks
+    are copy-on-write (``Table.mark_deleted``), so a pinned dict is a
+    stable version — the reader-side analogue of the reference's
+    per-vector version arrays (src/storage/table/chunk_info.cpp)."""
+
+    __slots__ = ("column_order", "seglists", "deletes")
+
+    def __init__(self, column_order, seglists, deletes):
+        self.column_order = column_order
+        self.seglists: Dict[str, tuple] = seglists
+        self.deletes: Dict[int, np.ndarray] = deletes
+
+    def segment(self, col: str, i: int) -> ColumnSegment:
+        return self.seglists[col][i]
+
+    def segments(self, col: str) -> tuple:
+        return self.seglists[col]
+
+    def segment_count(self) -> int:
+        if not self.column_order:
+            return 0
+        return len(self.seglists[self.column_order[0]])
+
+    def segment_rows(self, i: int) -> int:
+        return self.seglists[self.column_order[0]][i].count
+
+    def delete_mask(self, i: int) -> Optional[np.ndarray]:
+        return self.deletes.get(i)
+
+
 class Column:
     def __init__(self, name: str, ltype: tt.LogicalType, config, bm, seg_catalog):
         self.name = name
@@ -397,6 +437,58 @@ class Table:
     def delete_mask(self, i: int) -> Optional[np.ndarray]:
         return self._deletes.get(i)
 
+    def read_snapshot(self, token: Optional[int] = None) -> TableSnapshot:
+        """Pin a consistent scan view (see TableSnapshot). ``token`` is the
+        reader's connection token for MVCC: while another connection's
+        write transaction is in flight, the snapshot is clamped to the
+        committed watermark and carries the committed delete masks."""
+        with self._append_lock:
+            self.flush_locked()
+            if self.write_txn is not None and self.write_txn != token:
+                limit = self.committed_rows
+                dels = dict(self.committed_deletes)
+            else:
+                limit = None
+                dels = dict(self._deletes)
+            seglists = {
+                c: tuple(self.columns[c].segments) for c in self.column_order
+            }
+            if limit is not None and self.column_order:
+                col0 = seglists[self.column_order[0]]
+                total = vis = 0
+                for seg in col0:
+                    if total + seg.count > limit:
+                        break
+                    total += seg.count
+                    vis += 1
+                if vis < len(col0):
+                    seglists = {c: s[:vis] for c, s in seglists.items()}
+            return TableSnapshot(self.column_order, seglists, dels)
+
+    def truncate(self) -> None:
+        """DELETE without WHERE: drop all rows IN PLACE, preserving the
+        table object, its indexes, and dependent views (DuckDB delete-all
+        semantics via src/storage/data_table.cpp — the round-4 drop-and-
+        recreate path silently lost indexes, so UNIQUE stopped being
+        enforced)."""
+        with self._append_lock:
+            if self.wal is not None:
+                self.wal.log_truncate(self.name)
+            for c in self.column_order:
+                col = self.columns[c]
+                for s in col.segments:
+                    self.bm.add_to_data_size(-s.footprint_bytes())
+                    if col.seg_catalog is not None:
+                        col.seg_catalog.remove_column_segment(s)
+                    s.page_out()
+                col.segments = []
+                col._staging = []
+                col._staged_rows = 0
+            self._deletes = {}
+            self._has_deletes = False
+            for idx in self.indexes:
+                idx.invalidate()
+
     # ---------------- MVCC write ownership ----------------
     def begin_write_txn(self, token: int) -> None:
         """First write by a transaction: pin the committed watermark and
@@ -437,24 +529,40 @@ class Table:
             self.columns[c].flush()
 
     def mark_deleted(self, seg_idx: int, rows: np.ndarray, _log=True):
-        if self.wal is not None and _log:
+        self.mark_deleted_many([(seg_idx, rows)], _log=_log)
+
+    def mark_deleted_many(self, updates, _log=True):
+        """Apply a DELETE statement's per-segment row sets ATOMICALLY:
+        one lock acquisition publishes every affected segment's new mask,
+        so a reader snapshot sees all of the statement or none of it.
+
+        Masks are copy-on-write: each update builds a NEW array and swaps
+        the dict entry, never mutating a published one — readers holding a
+        TableSnapshot keep a stable pinned version (the reference's
+        chunk_info version-array discipline, reduced to delete masks)."""
+        with self._append_lock:
+            self.flush_locked()
             col0 = self.columns[self.column_order[0]]
-            self.wal.log_delete(self.name, seg_idx, rows,
-                                col0.segments[seg_idx].start_row)
-        seg_rows = self.segment_rows(seg_idx)
-        m = self._deletes.get(seg_idx)
-        if m is None:
-            m = np.zeros(seg_rows, dtype=np.bool_)
-            self._deletes[seg_idx] = m
-        elif len(m) < seg_rows:
-            # the tail segment was unsealed and re-sealed LARGER after
-            # these rows were deleted (append into a partial segment);
-            # the old prefix rows keep their positions — grow the mask
-            m = np.concatenate(
-                [m, np.zeros(seg_rows - len(m), dtype=np.bool_)])
-            self._deletes[seg_idx] = m
-        m[rows] = True
-        self._has_deletes = True
+            for seg_idx, rows in updates:
+                if self.wal is not None and _log:
+                    self.wal.log_delete(self.name, seg_idx, rows,
+                                        col0.segments[seg_idx].start_row)
+                seg_rows = col0.segments[seg_idx].count
+                m = self._deletes.get(seg_idx)
+                if m is None:
+                    m2 = np.zeros(seg_rows, dtype=np.bool_)
+                elif len(m) < seg_rows:
+                    # the tail segment was unsealed and re-sealed LARGER
+                    # after these rows were deleted (append into a partial
+                    # segment); the old prefix rows keep their positions —
+                    # grow the mask
+                    m2 = np.concatenate(
+                        [m, np.zeros(seg_rows - len(m), dtype=np.bool_)])
+                else:
+                    m2 = m.copy()
+                m2[rows] = True
+                self._deletes[seg_idx] = m2
+            self._has_deletes = True
 
     def index_on(self, col: str):
         """First single-column index over `col`, or None (optimizer

@@ -116,6 +116,12 @@ class WriteAheadLog:
                 arrays[f"v.{c}"] = np.asarray(validity[c], dtype=bool)
         self._emit({"op": "insert", "table": table, "cols": cols}, arrays)
 
+    def log_truncate(self, table: str):
+        """DELETE without WHERE: all rows removed in place, schema +
+        indexes survive (logical-WAL analogue of the reference's
+        delete-all entries)."""
+        self._emit({"op": "truncate", "table": table})
+
     def log_delete(self, table: str, seg_idx: int, rows: np.ndarray,
                    start_row: int = 0):
         # GLOBAL row positions: replay re-segments by its own flush
@@ -206,6 +212,8 @@ def replay(db, path: str) -> int:
                 if f"v.{c}" in z.files:
                     validity[c] = z[f"v.{c}"]
             table.append_batch(data, validity or None)
+        elif op == "truncate":
+            db.catalog.get_table(header["table"]).truncate()
         elif op == "delete":
             table = db.catalog.get_table(header["table"])
             table.flush()

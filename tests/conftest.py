@@ -57,3 +57,31 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x5EED)
+
+
+@pytest.fixture(autouse=True)
+def _fail_on_thread_exceptions():
+    """Fail any test whose worker threads die with an unhandled exception.
+
+    Round 4's reader/writer race was masked exactly this way: a scan
+    thread died with IndexError, the thread's `bad` list stayed empty,
+    and the test vacuously passed (VERDICT r4 weak #2)."""
+    import threading
+
+    errors = []
+    prev = threading.excepthook
+
+    def hook(args):
+        errors.append(args)
+        prev(args)
+
+    threading.excepthook = hook
+    try:
+        yield
+    finally:
+        threading.excepthook = prev
+    if errors:
+        first = errors[0]
+        raise AssertionError(
+            f"{len(errors)} unhandled thread exception(s); first: "
+            f"{first.exc_type.__name__}: {first.exc_value}")

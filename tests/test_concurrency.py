@@ -61,17 +61,23 @@ def test_readers_during_writes_see_consistent_prefixes(db):
     bad = []
 
     def reader():
-        c = db.connect()
-        last = 0
-        while not stop.is_set():
-            r = c.query("SELECT count(*), sum(i) FROM t").fetchone()
-            n, s = int(r[0]), int(r[1] or 0)
-            # appended values are all 1: a consistent snapshot has s == n,
-            # and row counts never go backwards
-            if s != n or n < last:
-                bad.append((n, s, last))
-                return
-            last = n
+        # any exception here (e.g. the round-4 IndexError from a popped
+        # segment list) must FAIL the test, not silently kill the thread
+        try:
+            c = db.connect()
+            last = 0
+            while not stop.is_set():
+                r = c.query("SELECT count(*), sum(i) FROM t").fetchone()
+                n, s = int(r[0]), int(r[1] or 0)
+                # appended values are all 1: a consistent snapshot has
+                # s == n, and row counts never go backwards
+                if s != n or n < last:
+                    bad.append((n, s, last))
+                    return
+                last = n
+        except Exception as e:
+            bad.append(("reader died", repr(e)))
+            raise
 
     rt = threading.Thread(target=reader)
     rt.start()
@@ -227,3 +233,86 @@ def test_mvcc_rollback_restores_and_releases():
     r.query("COMMIT")
     assert w.query("SELECT count(*) FROM t").fetchone()[0] == 3001
     db.close()
+
+
+def test_scan_vs_append_segment_race_stress():
+    """Round-4 confirmed race: a zonemap candidate list outlived a
+    concurrent unseal-partial segment-list pop and scans threw
+    IndexError (exec/executor.py round-4 line 1261 -> storage/table.py
+    392). Scans now pin a TableSnapshot under the append lock. Small
+    segments + small batches maximize tail pops; pre-fix this failed in
+    well under a second."""
+    import time
+
+    cfg = at.DBConfig()
+    cfg.segment_rows = 256
+    db = at.Database(config=cfg)
+    try:
+        wcon = db.connect()
+        wcon.query("CREATE TABLE t(i BIGINT)")
+        stop = threading.Event()
+        bad = []
+
+        def reader():
+            try:
+                c = db.connect()
+                while not stop.is_set():
+                    # filtered scan: exercises zonemap candidates + host
+                    # eq path; count query exercises the agg scan path
+                    c.query("SELECT count(*) FROM t WHERE i = 1").fetchone()
+                    c.query("SELECT count(*), sum(i) FROM t").fetchone()
+            except Exception as e:
+                bad.append(repr(e))
+                raise
+
+        rts = [threading.Thread(target=reader) for _ in range(2)]
+        for t in rts:
+            t.start()
+        deadline = time.time() + 4.0
+        while time.time() < deadline:
+            app = wcon.appender("t")
+            app.append_column("i", np.ones(100, np.int64))
+            app.close()
+        stop.set()
+        for t in rts:
+            t.join()
+        assert not bad, bad[:3]
+    finally:
+        db.close()
+
+
+def test_delete_masks_are_pinned_versions(db):
+    """mark_deleted is copy-on-write: a reader's snapshot keeps a stable
+    delete-mask version while a concurrent writer deletes (step toward
+    reference chunk_info.cpp version arrays, VERDICT r4 next #10)."""
+    wcon = db.connect()
+    wcon.query("CREATE TABLE t(i BIGINT)")
+    app = wcon.appender("t")
+    app.append_column("i", np.arange(20_000, dtype=np.int64))
+    app.close()
+    stop = threading.Event()
+    bad = []
+
+    def reader():
+        try:
+            c = db.connect()
+            while not stop.is_set():
+                n = int(c.query(
+                    "SELECT count(*) FROM t WHERE i >= 0").scalar())
+                # deletes happen in 1000-row statements: any observed
+                # count must be a consistent prefix multiple
+                if n % 1000 != 0:
+                    bad.append(n)
+                    return
+        except Exception as e:
+            bad.append(repr(e))
+            raise
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    for k in range(0, 20_000, 1000):
+        wcon.query(f"DELETE FROM t WHERE i >= {k} AND i < {k + 1000}")
+    stop.set()
+    rt.join()
+    assert not bad, bad[:3]
+    assert int(wcon.query("SELECT count(*) FROM t").scalar()) == 0

@@ -200,3 +200,72 @@ def test_dml_fuzz_smoke():
         env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": "."},
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+
+def test_table_snapshot_survives_tail_unseal():
+    """Deterministic core of the round-4 race: a pinned TableSnapshot
+    stays fully resolvable while the writer pops/reseals the partial tail
+    segment (unseal_last_partial) — the live list shrinks, the snapshot
+    tuple does not."""
+    import adacom_tpu as at
+
+    cfg = at.DBConfig()
+    cfg.segment_rows = 256
+    db = at.Database(config=cfg)
+    try:
+        con = db.connect()
+        con.query("CREATE TABLE t(i BIGINT)")
+        app = con.appender("t")
+        app.append_column("i", np.ones(300, np.int64))  # 1 full + partial
+        app.close()
+        table = db.catalog.get_table("t")
+        snap = table.read_snapshot()
+        n0 = snap.segment_count()
+        rows0 = sum(snap.segment_rows(i) for i in range(n0))
+        assert rows0 == 300
+        # ten unseal/reseal cycles: each append pops the partial tail
+        for _ in range(10):
+            a = con.appender("t")
+            a.append_column("i", np.ones(10, np.int64))
+            a.close()
+            table.flush()
+        # live table moved on; the snapshot still resolves every segment
+        assert snap.segment_count() == n0
+        total = 0
+        for i in range(n0):
+            seg = snap.segment("i", i)
+            total += int(seg.host_plain().sum())
+        assert total == 300
+        assert int(con.query("SELECT count(*) FROM t").scalar()) == 400
+    finally:
+        db.close()
+
+
+def test_truncate_preserves_indexes_and_unique():
+    """DELETE without WHERE must keep indexes live (round-4 repro: the
+    drop-and-recreate truncate silently dropped UNIQUE enforcement)."""
+    import adacom_tpu as at
+    from adacom_tpu.storage.index import ConstraintViolation
+
+    db = at.Database()
+    try:
+        con = db.connect()
+        con.query("CREATE TABLE t(i BIGINT, s VARCHAR)")
+        con.query("CREATE UNIQUE INDEX ui ON t(i)")
+        con.query("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+        con.query("DELETE FROM t")
+        assert int(con.query("SELECT count(*) FROM t").scalar()) == 0
+        # index object survived the truncate
+        assert db.catalog.get_table("t").index_on("i") is not None
+        con.query("INSERT INTO t VALUES (7, 'x')")
+        import pytest as _pytest
+        with _pytest.raises((ConstraintViolation, Exception)) as exc:
+            con.query("INSERT INTO t VALUES (7, 'y')")
+        assert "duplicate" in str(exc.value).lower() or \
+            "unique" in str(exc.value).lower() or \
+            "constraint" in str(exc.value).lower()
+        # old keys were really dropped: re-inserting a pre-truncate key is fine
+        con.query("INSERT INTO t VALUES (1, 'z')")
+        assert int(con.query("SELECT count(*) FROM t").scalar()) == 2
+    finally:
+        db.close()

@@ -174,3 +174,22 @@ def test_close_checkpoints_and_reopen(tmp_path):
     s = con2.query("SELECT SUM(x) FROM t").scalar()
     assert abs(s - np.round(np.arange(9_000) * 0.25, 2).sum()) < 1e-6
     db2.close()
+
+
+def test_truncate_replay(tmp_path):
+    """DELETE-without-WHERE logs a truncate record; replay reproduces the
+    emptied-then-refilled state and the index survives in both worlds."""
+    db, con = _open(tmp_path / "d")
+    con.query("CREATE TABLE t(i BIGINT)")
+    con.query("CREATE UNIQUE INDEX ui ON t(i)")
+    con.query("INSERT INTO t VALUES (1), (2), (3)")
+    con.query("DELETE FROM t")
+    con.query("INSERT INTO t VALUES (9)")
+    _crash(db)
+    db2, con2 = _open(tmp_path / "d")
+    assert [r[0] for r in con2.query("SELECT i FROM t").fetchall()] == [9]
+    assert db2.catalog.get_table("t").index_on("i") is not None
+    # UNIQUE still enforced post-replay
+    with pytest.raises(Exception):
+        con2.query("INSERT INTO t VALUES (9)")
+    db2.close()
