@@ -66,6 +66,13 @@ class DBConfig:
     # hardware where the link is PCIe/ICI-speed.
     device_join_rows: int = 50_000_000
     device_sort_rows: int = 50_000_000
+    # Adaptive auto-indexing: after this many selective equality probes on
+    # an un-indexed column whose zonemaps can't prune (interleaved key
+    # distributions, e.g. the FBWorkload prefix-random u64 trace), the
+    # latency tier builds an in-memory SortedIndex for it automatically —
+    # the access-counter-driven adaptivity of the segment catalog applied
+    # to lookups. 0 disables. Auto indexes are never persisted.
+    auto_index_threshold: int = 64
     # With a mesh attached (Database(mesh=...)): equi-joins at or above
     # this row count shuffle over the mesh (all_to_all); smaller joins
     # stay on the host. 0 disables.

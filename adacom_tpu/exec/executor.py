@@ -384,6 +384,27 @@ class Executor:
                 # index-scan rewrite (reference table_scan.cpp:388): a sorted
                 # index answers the equality probe with binary searches
                 idxo = table.index_on(get.column_ids[p[0]])
+                if idxo is None and self.config.auto_index_threshold and \
+                        len(candidates) >= 4:
+                    # adaptive auto-index: repeated selective eq probes on
+                    # a column whose zonemaps can't prune (e.g. the
+                    # FBWorkload prefix-random u64 trace scans EVERY
+                    # segment per lookup) earn a SortedIndex — the
+                    # access-counter adaptivity of the segment catalog,
+                    # applied to point lookups
+                    colo = table.columns[get.column_ids[p[0]]]
+                    probes = getattr(colo, "_eq_probe_count", 0) + 1
+                    colo._eq_probe_count = probes
+                    if probes >= self.config.auto_index_threshold:
+                        from adacom_tpu.storage.index import SortedIndex
+
+                        idxo = SortedIndex(
+                            f"__auto_{table.name}_{colo.name}", table,
+                            colo.name)
+                        idxo.build()
+                        table.indexes.append(idxo)
+                        self.db.dist_stats["auto_index_built"] = \
+                            self.db.dist_stats.get("auto_index_built", 0) + 1
                 if idxo is not None:
                     index_hits = dict(idxo.lookup_eq(p[2]))
                     candidates = [i for i in candidates if i in index_hits]
@@ -841,12 +862,18 @@ class Executor:
                        for k, *_x in specs)
         if not grouped and not holistic and not any(d for *_x, d in specs):
             mat = self._try_pallas_scan_agg(node, get, lits, specs, finishers)
+            if mat is None:
+                mat = self._try_pallas_multi_agg(node, get, lits, specs,
+                                                 finishers, None)
             if mat is not None:
                 return mat
         if grouped and dense is not None and not holistic and \
                 not any(d for *_x, d in specs):
             mat = self._try_pallas_grouped_agg(node, get, lits, specs,
                                                finishers, dense)
+            if mat is None:
+                mat = self._try_pallas_multi_agg(node, get, lits, specs,
+                                                 finishers, dense)
             if mat is not None:
                 return mat
         if (grouped and dense is None) or any(d for *_x, d in specs) \
@@ -1235,6 +1262,304 @@ class Executor:
         cols: List[np.ndarray] = [
             (gidx + mins_d[0]).astype(compute_dtype_of(g.ty))]
         valids: List[Optional[np.ndarray]] = [None]
+        for a, v in zip(node.aggregates, agg_cols):
+            cols.append(np.asarray(v))
+            valids.append(None)
+        dicts = getattr(node, "dicts", [None] * len(node.names))
+        return Mat(list(node.names), list(node.types), dicts, cols, valids)
+
+    def _try_pallas_multi_agg(self, node, get: b.LogicalGet, lits,
+                              specs, finishers, dense) -> Optional[Mat]:
+        """Pallas multi-plane multi-aggregate grouped scan (TPC-H
+        Q1-class): N SUM/COUNT aggregates whose arguments are polynomials
+        over DECIMAL/integer scan columns (sum(price*(1-disc)*(1+tax))
+        expands to signed combinations of monomial sums), grouped by a
+        small dense domain over up to several key columns, with
+        conjunctive per-column range filters — all fused with the
+        succinct decode of every referenced plane in ONE kernel pass
+        (reference: perfect_aggregate_hashtable.cpp +
+        expression_executor.cpp, collapsed into the scan)."""
+        if not getattr(self.config, "pallas_scan_enabled", False):
+            return None
+        if getattr(self.db, "mesh", None) is not None:
+            return None
+        from adacom_tpu.ops import pallas_scan
+
+        grouped = bool(node.groups)
+        if grouped:
+            if dense is None:
+                return None
+            mins_d, strides, sizes, domain = dense
+        else:
+            mins_d, strides, sizes, domain = [], [], [], 1
+        if not (1 <= domain <= pallas_scan.MAX_MULTI_GROUPS):
+            return None
+        for g in node.groups:
+            if not isinstance(g, b.BColumn):
+                return None
+        gcols = [g.index for g in node.groups]
+
+        # ---- decompose aggregate args into monomial plans ----
+        mono_ids: Dict[tuple, int] = {}
+        spec_plans = []
+        vcheck_cols = set()  # columns whose validity must be absent
+        for kind, arg, acc, distinct in specs:
+            if distinct:
+                return None
+            if kind == "count":
+                spec_plans.append(None)
+                continue
+            if kind == "count_arg":
+                if arg is None:
+                    return None
+                pd = _poly_decompose(arg, lits)
+                if pd is None:
+                    return None
+                for m in pd[0]:
+                    vcheck_cols.update(m)
+                spec_plans.append(None)
+                continue
+            if kind != "sum":
+                return None
+            pd = _poly_decompose(arg, lits)
+            if pd is None:
+                return None
+            terms, scale = pd
+            declared = arg.ty.scale if arg.ty.name == "DECIMAL" else 0
+            if scale != declared:
+                return None
+            plan = []
+            for mono, coef in terms.items():
+                if coef == 0:
+                    continue
+                if len(mono) > pallas_scan.MAX_MONO_DEGREE:
+                    return None
+                mi = (None if len(mono) == 0
+                      else mono_ids.setdefault(mono, len(mono_ids)))
+                plan.append((int(coef), mi))
+                vcheck_cols.update(mono)
+            spec_plans.append(plan)
+        monos = [m for m, _i in sorted(mono_ids.items(), key=lambda kv: kv[1])]
+
+        # ---- fold filters into per-column integer ranges ----
+        ranges: Dict[int, list] = {}
+        empty_all = False
+        for f in get.filters:
+            p = _zonemap_probe(f, lits)
+            if p is None:
+                return None
+            ci, op, val = p
+            r = ranges.setdefault(ci, [None, None])
+            if op == "=":
+                iv = int(np.floor(val))
+                if np.longdouble(iv) != val:
+                    empty_all = True
+                else:
+                    r[0] = iv if r[0] is None else max(r[0], iv)
+                    r[1] = iv if r[1] is None else min(r[1], iv)
+            elif op == "<":
+                b_ = int(np.ceil(val)) - 1
+                r[1] = b_ if r[1] is None else min(r[1], b_)
+            elif op == "<=":
+                b_ = int(np.floor(val))
+                r[1] = b_ if r[1] is None else min(r[1], b_)
+            elif op == ">":
+                b_ = int(np.floor(val)) + 1
+                r[0] = b_ if r[0] is None else max(r[0], b_)
+            elif op == ">=":
+                b_ = int(np.ceil(val))
+                r[0] = b_ if r[0] is None else max(r[0], b_)
+        for r in ranges.values():
+            if r[0] is not None and r[1] is not None and r[0] > r[1]:
+                empty_all = True
+        if len(ranges) > 8:
+            return None
+
+        mono_cols = sorted({c for m in monos for c in m})
+        plane_cols = sorted(set(mono_cols) | set(ranges))
+        if len(plane_cols) > pallas_scan.MAX_MULTI_PLANES or \
+                len(gcols) > 6:
+            return None
+        plane_pos = {c: p for p, c in enumerate(plane_cols)}
+        kmonos = tuple(tuple(plane_pos[c] for c in m) for m in monos)
+        kpreds = tuple(plane_pos[c] for c in sorted(ranges))
+        vcheck_only = sorted(vcheck_cols - set(plane_cols) - set(gcols))
+
+        # plane types must be exact integers (scaled DECIMAL / int / date
+        # / dict codes); floats can't ride the integer kernel
+        for c in plane_cols + gcols:
+            ty = get.types[c]
+            if ty.is_float or (ty.is_string and c not in gcols):
+                return None
+
+        # ---- per-segment eligibility sweep + class pooling ----
+        snap = self._pin_snapshot(get.table)
+        candidates = self._zonemap_candidates(get, lits, snap)
+        classes: Dict[tuple, list] = {}
+        plane_vmax = [0] * len(plane_cols)
+        for i in candidates:
+            if snap.delete_mask(i) is not None:
+                return None
+            entry_planes = []
+            for c in gcols + plane_cols + vcheck_only:
+                s = snap.segment(get.column_ids[c], i)
+                if s._validity_np is not None:
+                    return None
+                if c in vcheck_only and c not in plane_cols:
+                    continue
+                if not s.is_compacted() or s.codec not in (None, "succinct"):
+                    return None
+                meta, arrs = s.reader_arrays()
+                if meta[0] != "packed":
+                    return None
+                widths, L, _dt = meta[1]
+                if len(widths) > 1 and widths[1] != 0:
+                    return None  # true 64-bit span: host tier
+                w = widths[0]
+                mf = s._packed.min_factor
+                word = arrs[0] if w > 0 else None
+                entry_planes.append((c, w, L, int(mf), int(s.vmax), word,
+                                     id(s), s.version))
+            key = tuple((c, w) for c, w, *_r in entry_planes)
+            classes.setdefault(key, []).append(
+                (i, snap.segment_rows(i), entry_planes))
+
+        n_planes = len(plane_cols)
+        n_group_planes = len(gcols)
+        for entries in classes.values():
+            for _i, _cnt, planes in entries:
+                for pj, (c, w, L, mf, vmax, _wd, _id, _v) in enumerate(planes):
+                    if pj < n_group_planes:
+                        gj = pj
+                        if mf - (mins_d[gj] if grouped else 0) < 0:
+                            return None
+                    else:
+                        p = pj - n_group_planes
+                        if c in mono_cols and (mf < 0 or vmax >= (1 << 31)):
+                            return None
+                        plane_vmax[p] = max(plane_vmax[p], vmax)
+        # per-row monomial product must stay exact in u32
+        for m in monos:
+            prod = 1
+            for c in m:
+                prod *= max(1, plane_vmax[plane_pos[c]])
+            if prod >= (1 << 32):
+                return None
+
+        kstrides = tuple(int(s) for s in strides) if grouped else ()
+        sums = np.zeros((domain, len(monos)), np.int64)
+        cnts = np.zeros(domain, np.int64)
+        if not empty_all:
+            cache = getattr(get.table, "_pool_cache", None)
+            if cache is None:
+                cache = get.table._pool_cache = {}
+            for ckey, entries in classes.items():
+                scal = np.zeros((len(entries), 32), np.uint32)
+                seg_sig = []
+                for ei, (i, cnt_i, planes) in enumerate(entries):
+                    scal[ei, 0] = cnt_i
+                    scal[ei, 1] = bitpack.lanes_for(cnt_i)
+                    seg_empty = False
+                    for pj, (c, w, L, mf, vmax, _wd, sid, sver) in \
+                            enumerate(planes):
+                        seg_sig.append((sid, sver))
+                        if pj < n_group_planes:
+                            scal[ei, 2 + pj] = mf - (mins_d[pj] if grouped
+                                                     else 0)
+                        else:
+                            p = pj - n_group_planes
+                            if c in mono_cols:
+                                # gated to [0, 2^31) above
+                                scal[ei, 8 + p] = np.uint32(mf)
+                            rr = ranges.get(c)
+                            if rr is not None:
+                                q = kpreds.index(p)
+                                lo_v = -(1 << 62) if rr[0] is None else rr[0]
+                                hi_v = (1 << 62) if rr[1] is None else rr[1]
+                                lo_c = min(max(lo_v - mf, 0), 0xFFFFFFFF)
+                                hi_c = min(hi_v - mf, 0xFFFFFFFF)
+                                if hi_c < lo_c:
+                                    seg_empty = True
+                                else:
+                                    scal[ei, 16 + 2 * q] = lo_c
+                                    scal[ei, 17 + 2 * q] = max(0, hi_c)
+                    if seg_empty:
+                        scal[ei, 0] = 0
+                        scal[ei, 16:] = 0
+                stack_key = ("multi", ckey, tuple(seg_sig), kmonos, kpreds)
+                stacked = cache.get(stack_key)
+                if stacked is None:
+                    L_pad = 0
+                    for _i2, _c2, planes in entries:
+                        for _c3, w, L, *_r3 in planes:
+                            if w > 0:
+                                L_pad = max(L_pad, L)
+                    L_pad = -(-max(L_pad, 1) //
+                              pallas_scan.TILE_L) * pallas_scan.TILE_L
+
+                    def padw(words):
+                        if words.shape[1] == L_pad:
+                            return words
+                        return jnp.pad(
+                            words, ((0, 0), (0, L_pad - words.shape[1])))
+                    gstacks, vstacks = [], []
+                    for pj in range(len(entries[0][2])):
+                        w = entries[0][2][pj][1]
+                        if w == 0:
+                            stackp = None
+                        else:
+                            stackp = jnp.stack(
+                                [padw(e[2][pj][5]) for e in entries])
+                        if pj < n_group_planes:
+                            gstacks.append(stackp)
+                        else:
+                            vstacks.append(stackp)
+                    stacked = (gstacks, vstacks)
+                    if len(cache) > 8:
+                        cache.clear()
+                    cache[stack_key] = stacked
+                gstacks, vstacks = stacked
+                try:
+                    out = pallas_scan.multi_grouped_scan_table(
+                        gstacks, vstacks, scal, domain, kstrides, kmonos,
+                        kpreds, prep_cache=cache, prep_key=stack_key)
+                except ValueError:
+                    return None  # shape/VMEM budget: host tier
+                sums += out[:, :len(monos)]
+                cnts += out[:, len(monos)]
+
+        # ---- finish ----
+        def spec_prim(plan, gsel):
+            if plan is None:
+                return cnts[gsel]
+            acc = np.zeros_like(cnts[gsel])
+            for coef, mi in plan:
+                acc = acc + coef * (cnts[gsel] if mi is None
+                                    else sums[gsel, mi])
+            return acc
+
+        self.db.dist_stats["pallas_multi_agg"] = \
+            self.db.dist_stats.get("pallas_multi_agg", 0) + 1
+        if not grouped:
+            prim = []
+            for plan in spec_plans:
+                v = spec_prim(plan, slice(None))
+                prim.append(int(v[0]))
+            out_vals = [f(prim) for f in finishers]
+            cols, valids = _agg_finalize_row(node, out_vals)
+            dicts = getattr(node, "dicts", [None] * len(node.names))
+            return Mat(list(node.names), list(node.types), dicts, cols,
+                       valids)
+        present = cnts > 0
+        gidx = np.nonzero(present)[0]
+        prim = [spec_prim(plan, gidx) for plan in spec_plans]
+        agg_cols = [f(prim) for f in finishers]
+        cols = []
+        valids = []
+        for gi, g in enumerate(node.groups):
+            vals = (gidx // strides[gi]) % sizes[gi] + mins_d[gi]
+            cols.append(vals.astype(compute_dtype_of(g.ty)))
+            valids.append(None)
         for a, v in zip(node.aggregates, agg_cols):
             cols.append(np.asarray(v))
             valids.append(None)
@@ -2495,6 +2820,63 @@ def _agg_finalize_row(node, out_vals):
             cols.append(np.asarray([v]))
             valids.append(None)
     return cols, valids
+
+
+def _poly_decompose(e: b.BExpr, lits):
+    """Expand an integer/DECIMAL scalar expression over scan columns into
+    polynomial terms in the SCALED-integer domain.
+
+    Mirrors the engine's decimal arithmetic exactly (exec/expr.py binary
+    eval + the binder's typing): '+'/'-' rescale both sides to the max
+    scale, '*' multiplies scaled values (scales add). Returns
+    (terms, scale) where terms maps a sorted tuple of scan-column indices
+    (the monomial; () is the constant term) to an integer coefficient —
+    so sum(price * (1 - disc) * (1 + tax)) decomposes to
+    1e4*S(price) - 1e2*S(price*disc) + 1e2*S(price*tax) - S(price*disc*tax)
+    — or None when the expression doesn't fit (floats, division,
+    functions, strings)."""
+    if isinstance(e, b.BColumn):
+        ty = e.ty
+        if ty.is_float or ty.is_string or not (
+                ty.integer or ty.name == "DECIMAL"):
+            return None
+        return {(e.index,): 1}, (ty.scale if ty.name == "DECIMAL" else 0)
+    if isinstance(e, b.BLiteral):
+        v = lits[e.param] if e.param is not None else e.value
+        if v is None or isinstance(v, str):
+            return None
+        if isinstance(v, float):
+            if not float(v).is_integer():
+                return None
+            v = int(v)
+        if e.ty.name == "DECIMAL":
+            return {(): int(v)}, e.ty.scale
+        if not e.ty.integer:
+            return None
+        return {(): int(v)}, 0
+    if isinstance(e, b.BBinary) and e.op in ("+", "-", "*"):
+        lp = _poly_decompose(e.left, lits)
+        rp = _poly_decompose(e.right, lits)
+        if lp is None or rp is None:
+            return None
+        lt, ls = lp
+        rt, rs = rp
+        if e.op in ("+", "-"):
+            s = max(ls, rs)
+            out: Dict[tuple, int] = {}
+            for m, c in lt.items():
+                out[m] = out.get(m, 0) + c * 10 ** (s - ls)
+            sgn = 1 if e.op == "+" else -1
+            for m, c in rt.items():
+                out[m] = out.get(m, 0) + sgn * c * 10 ** (s - rs)
+            return out, s
+        out = {}
+        for m1, c1 in lt.items():
+            for m2, c2 in rt.items():
+                m = tuple(sorted(m1 + m2))
+                out[m] = out.get(m, 0) + c1 * c2
+        return out, ls + rs
+    return None
 
 
 def _zonemap_probe(f: b.BExpr, lits):

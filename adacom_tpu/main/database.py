@@ -53,10 +53,13 @@ class Database:
         self.parse_cache: dict = {}
         self._closed = False
         # frontload the (slow, once-per-process) device-link warmup so no
-        # query ever pays it
-        from adacom_tpu.utils.warmup import ensure_transfer_warm
+        # query ever pays it — CONCURRENTLY with ingest/DDL: the first
+        # tunneled pull can take minutes and used to land inside the
+        # benchmark's load phase (BENCH_r04: 1512 s of its 1675 s wall
+        # was this warmup, recorded as "load")
+        from adacom_tpu.utils.warmup import warm_in_background
 
-        ensure_transfer_warm()
+        warm_in_background()
         self.wal = None
         self._ckpt_seq = 0
         if path is not None:

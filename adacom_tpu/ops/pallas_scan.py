@@ -633,3 +633,290 @@ def grouped_scan_table(gwords, vwords, counts, gmins, vmins, n_groups,
     if len(outs) == 1:
         return np.asarray(outs[0])
     return np.asarray(sum(outs[1:], outs[0]))
+
+
+# ======================================================================
+# multi-plane multi-aggregate grouped scan (TPC-H Q1-class queries:
+# several SUM/COUNT aggregates over products of decimal columns with
+# conjunctive range filters, grouped by a small dense domain — the
+# reference's PhysicalHashAggregate perfect-hash path over derived
+# expressions, perfect_aggregate_hashtable.cpp, fused with the succinct
+# decode of EVERY referenced column in one VMEM pass)
+# ======================================================================
+
+MAX_MULTI_GROUPS = 8    # one-hot accumulator height; larger domains -> XLA
+MAX_MULTI_PLANES = 8
+MAX_MONO_DEGREE = 3     # product aggregates of at most 3 columns
+
+# scalar-table column layout, (n_seg, 32) uint32
+_SC_COUNT = 0
+_SC_LORIG = 1
+_SC_GMIN = 2       # + group index j (j < 6)
+_SC_VMIN = 8       # + plane index p (p < 8)
+_SC_PRED = 16      # + 2*q (lo), 2*q+1 (hi) for pred q (q < 8)
+
+
+def multi_supported(n_groups, n_planes, monos):
+    return (1 <= n_groups <= MAX_MULTI_GROUPS
+            and n_planes <= MAX_MULTI_PLANES
+            and all(1 <= len(m) <= MAX_MONO_DEGREE for m in monos))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_multi_grouped_scan(gws, vws, lane8, n_seg, seg_blk, n_groups,
+                              strides, monos, preds):
+    """pallas_call over per-plane packed word stacks.
+
+    gws: widths of the group planes (value = code + gmin, gmin rebased so
+         combined group ids land in [0, n_groups));
+    vws: widths of the value planes (value = code + vmin, all in u32 —
+         the CALLER guarantees 0 <= vmin and per-row monomial products
+         < 2^32 via zonemaps);
+    strides: per-group-plane dense-domain stride (static ints);
+    monos: aggregate monomials, each a tuple of vws indices — the kernel
+         accumulates sum(prod(v_p)) per group as split 16-bit halves;
+    preds: vws indices carrying a code-space range predicate from the
+         scalar table (conjunction over planes).
+
+    Output: (n_seg, n_groups, 2*len(monos)+1, 8, 128) uint32 — per
+    monomial [sum_lo, sum_hi] then the match count."""
+    if not multi_supported(n_groups, len(vws), monos):
+        raise ValueError("unsupported multi grouped scan shape")
+    fold_f = max(1, lane8 // 128)
+    if bitpack.ROWS * 0xFFFF * fold_f >= (1 << 32):
+        raise ValueError(f"segment too wide for u32 partials: lane8={lane8}")
+    n_mono = len(monos)
+    n_out = 2 * n_mono + 1
+    # planes actually needing a value (code+vmin): any monomial member
+    val_planes = sorted({p for m in monos for p in m})
+
+    def kernel(scal_ref, *refs):
+        # refs = group word stacks (w>0 only) + value word stacks (w>0
+        # only) + out_ref
+        out_ref = refs[-1]
+        gm_refs = {}
+        vm_refs = {}
+        k = 0
+        for j, w in enumerate(gws):
+            if w > 0:
+                gm_refs[j] = refs[k]
+                k += 1
+        for p, w in enumerate(vws):
+            if w > 0:
+                vm_refs[p] = refs[k]
+                k += 1
+
+        count = scal_ref[:, _SC_COUNT:_SC_COUNT + 1].astype(_I32)[:, :, None]
+        l_orig = scal_ref[:, _SC_LORIG:_SC_LORIG + 1].astype(_I32)[:, :, None]
+        ia = jax.lax.broadcasted_iota(_I32, (8, lane8), 0)
+        ib = jax.lax.broadcasted_iota(_I32, (8, lane8), 1)
+        lane_g = (ia * np.int32(lane8) + ib)[None]          # (1,8,lane8)
+        zero = jnp.zeros((seg_blk, 8, lane8), _U32)
+        zero_g = jnp.zeros((seg_blk, n_groups, 8, lane8), _U32)
+        one_g = jnp.full((seg_blk, n_groups, 8, lane8), 1, _U32)
+        gids = jax.lax.broadcasted_iota(
+            _I32, (1, n_groups, 1, 1), 1)                    # (1,G,1,1)
+        accs = [zero_g for _ in range(2 * n_mono)]
+        cnt = zero_g
+
+        def unpack(wm, r, width):
+            p_ = r * width
+            k_, off = p_ >> 5, p_ & 31
+            code = wm[:, k_]
+            if off:
+                code = code >> _U32(off)
+            if off + width > 32:
+                code = code | (wm[:, k_ + 1] << _U32(32 - off))
+            mask_val = (1 << width) - 1 if width < 32 else U32_MAX
+            return code & _U32(mask_val)
+
+        for r in range(bitpack.ROWS):
+            thr = jnp.minimum(count - np.int32(r) * l_orig, l_orig)
+            keep = lane_g < thr                              # (B,8,lane8)
+            for q, pi in enumerate(preds):
+                lo = scal_ref[:, _SC_PRED + 2 * q:
+                              _SC_PRED + 2 * q + 1][:, :, None]
+                span = scal_ref[:, _SC_PRED + 2 * q + 1:
+                                _SC_PRED + 2 * q + 2][:, :, None] - lo
+                code = (unpack(vm_refs[pi], r, vws[pi])
+                        if vws[pi] > 0 else zero)
+                keep = keep & ((code - lo) <= span)
+            # dense combined group id
+            grp = jnp.zeros((seg_blk, 8, lane8), _I32)
+            for j, w in enumerate(gws):
+                gmin = scal_ref[:, _SC_GMIN + j:
+                                _SC_GMIN + j + 1].astype(_I32)[:, :, None]
+                gcode = (unpack(gm_refs[j], r, w).astype(_I32)
+                         if w > 0 else jnp.zeros((seg_blk, 8, lane8), _I32))
+                grp = grp + (gcode + gmin) * np.int32(strides[j])
+            m = keep[:, None] & (grp[:, None] == gids)       # (B,G,8,L/8)
+            # per-plane values (code + vmin), u32 exact by caller contract
+            vals = {}
+            for p in val_planes:
+                vmin = scal_ref[:, _SC_VMIN + p:_SC_VMIN + p + 1][:, :, None]
+                code = (unpack(vm_refs[p], r, vws[p])
+                        if vws[p] > 0 else zero)
+                vals[p] = code + vmin
+            for mi, mono in enumerate(monos):
+                term = vals[mono[0]]
+                for p in mono[1:]:
+                    term = term * vals[p]
+                accs[2 * mi] = accs[2 * mi] + jnp.where(
+                    m, (term & _U32(0xFFFF))[:, None], zero_g)
+                accs[2 * mi + 1] = accs[2 * mi + 1] + jnp.where(
+                    m, (term >> _U32(16))[:, None], zero_g)
+            cnt = cnt + jnp.where(m, one_g, zero_g)
+
+        def fold(x):  # (B, G, 8, lane8) -> (B, G, 8, 128)
+            while x.shape[3] > 128:
+                h = x.shape[3] // 2
+                x = x[:, :, :, :h] + x[:, :, :, h:]
+            return x
+
+        out_ref[...] = jnp.stack([fold(a) for a in accs] + [fold(cnt)],
+                                 axis=2)
+
+    z = np.int32(0)
+    n_chunks = n_seg // seg_blk
+    # scalar table rides VMEM as a (seg_blk, 128) block: Mosaic requires
+    # the trailing block dims to be (8k, 128)-aligned or whole-array
+    in_specs = [pl.BlockSpec((seg_blk, 128), lambda c: (c, z),
+                             memory_space=pltpu.VMEM)]
+    for w in gws:
+        if w > 0:
+            in_specs.append(pl.BlockSpec((seg_blk, w, 8, lane8),
+                                         lambda c: (c, z, z, z),
+                                         memory_space=pltpu.VMEM))
+    for w in vws:
+        if w > 0:
+            in_specs.append(pl.BlockSpec((seg_blk, w, 8, lane8),
+                                         lambda c: (c, z, z, z),
+                                         memory_space=pltpu.VMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((seg_blk, n_groups, n_out, 8, 128),
+                               lambda c: (c, z, z, z, z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_seg, n_groups, n_out, 8, 128),
+                                       _U32),
+        interpret=_interpret(),
+    )
+    return call
+
+
+@functools.lru_cache(maxsize=64)
+def _build_multi_runner(gws, vws, lane8, n_seg, seg_blk, n_groups,
+                        strides, monos, preds):
+    call = _build_multi_grouped_scan(gws, vws, lane8, n_seg, seg_blk,
+                                     n_groups, strides, monos, preds)
+    n_mono = len(monos)
+
+    @jax.jit
+    def run(scalars, *planes):
+        """-> (n_groups, n_mono+1) int64: monomial sums then count.
+
+        planes arrive as flat (n_seg, w, n_lanes) stacks; the (8, lane8)
+        view happens HERE inside jit — outside-jit reshapes/pads each
+        cost a ~25 ms dispatch through the tunneled device link and were
+        the round-4 hot-query overhead."""
+        planes = [p.reshape(p.shape[0], p.shape[1], 8, lane8)
+                  for p in planes]
+        raw = call(scalars, *planes)  # (n_seg, G, R, 8, 128)
+        i64 = jnp.int64
+        lo = raw[:, :, 0:2 * n_mono:2].astype(i64).sum(axis=(3, 4))
+        hi = raw[:, :, 1:2 * n_mono:2].astype(i64).sum(axis=(3, 4))
+        sums = (lo + (hi << 16)).sum(axis=0)              # (G, n_mono)
+        cnt = raw[:, :, 2 * n_mono].astype(i64).sum(axis=(0, 2, 3))
+        return jnp.concatenate([sums, cnt[:, None]], axis=1)
+
+    return run
+
+
+def multi_grouped_scan_table(gstacks, vstacks, scal, n_groups, strides,
+                             monos, preds, prep_cache=None, prep_key=None):
+    """Fused multi-aggregate grouped scan over one representation class.
+
+    gstacks: list of (n_seg, w_j, n_lanes) packed group planes (w_j may
+             be 0 -> pass None);
+    vstacks: list of (n_seg, w_p, n_lanes) packed value planes (None for
+             width-0 planes);
+    scal:    (n_seg, 32) uint32 scalar table (see _SC_* layout; changes
+             per query via the predicate codes, so it is NOT cached);
+    prep_cache/prep_key: optional dict + key under which the chunked,
+             segment-padded device stacks are cached across queries — the
+             chunk prep (pad/slice) otherwise costs host->device
+             dispatches per call.
+    Returns (n_groups, len(monos)+1) int64 numpy [sums..., count]."""
+    n_seg = int(scal.shape[0])
+    gws = tuple(0 if s is None else int(s.shape[1]) for s in gstacks)
+    vws = tuple(0 if s is None else int(s.shape[1]) for s in vstacks)
+    stacks = [s for s in list(gstacks) + list(vstacks) if s is not None]
+    n_lanes = max((int(s.shape[2]) for s in stacks), default=TILE_L)
+    if n_lanes % TILE_L:
+        n_lanes += TILE_L - n_lanes % TILE_L
+    lane8 = n_lanes // 8
+    total_w = max(1, sum(gws) + sum(vws))
+    n_out = 2 * len(monos) + 1
+
+    # chunk geometry (static given n_seg)
+    chunks = []
+    off = 0
+    while off < n_seg:
+        take = min(CHUNK_SEGS, n_seg - off)
+        # pad to >= 8 segments: block sublane dims must be multiples of 8
+        padded = max(8, 1 << (take - 1).bit_length())
+        blk = max(8, _seg_blk_for(total_w, lane8, padded))
+        blk = min(blk, padded)
+        # VMEM budget: inputs + (B, G, n_out, 8, lane8) accumulators
+        while blk > 8:
+            est = blk * total_w * 8 * lane8 * 4 \
+                + blk * n_groups * n_out * 8 * lane8 * 4
+            if est <= (10 << 20):
+                break
+            blk //= 2
+        if blk * (total_w + n_groups * n_out) * 8 * lane8 * 4 > (14 << 20):
+            raise ValueError("multi grouped scan exceeds VMEM budget")
+        chunks.append((off, take, padded, blk))
+        off += take
+
+    prepped = None
+    if prep_cache is not None and prep_key is not None:
+        prepped = prep_cache.get(("multi_prep", prep_key))
+    if prepped is None:
+        def prep(s):
+            if s is None:
+                return None
+            if int(s.shape[2]) != n_lanes:
+                s = jnp.pad(s, ((0, 0), (0, 0),
+                                (0, n_lanes - int(s.shape[2]))))
+            return s
+
+        flat = [prep(s) for s in list(gstacks) + list(vstacks)
+                if s is not None]
+        prepped = []
+        for off, take, padded, _blk in chunks:
+            planes = [s[off:off + take] for s in flat]
+            if padded != take:
+                padn = padded - take
+                planes = [jnp.pad(p, ((0, padn), (0, 0), (0, 0)))
+                          for p in planes]
+            prepped.append(tuple(planes))
+        if prep_cache is not None and prep_key is not None:
+            prep_cache[("multi_prep", prep_key)] = prepped
+
+    outs = []
+    for (off, take, padded, blk), planes in zip(chunks, prepped):
+        s_c = scal[off:off + take]
+        if padded != take:
+            s_c = np.pad(s_c, ((0, padded - take), (0, 0)))
+        s_c = np.pad(s_c, ((0, 0), (0, 128 - s_c.shape[1])))
+        run = _build_multi_runner(gws, vws, lane8, padded, blk,
+                                  int(n_groups), tuple(strides),
+                                  tuple(tuple(m) for m in monos),
+                                  tuple(preds))
+        outs.append(run(s_c, *planes))
+    if len(outs) == 1:
+        return np.asarray(outs[0])
+    return np.asarray(sum(outs[1:], outs[0]))

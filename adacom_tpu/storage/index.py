@@ -151,6 +151,22 @@ class SortedIndex:
                     if len(rows):
                         out.append((i, rows))
             return out
+        if not col.segments:
+            return out
+        # normalize the probe to the key dtype BEFORE the binary searches:
+        # a float/longdouble scalar makes numpy cast the ENTIRE sorted key
+        # array per searchsorted call (observed 0.2 ms per probe on 64k
+        # keys — 200x the log-n search itself)
+        dt = col.segments[0]._host_compute_values().dtype
+        if dt.kind in "iu":
+            if isinstance(value, (float, np.floating)):
+                if value != int(value):
+                    return out  # fractional probe matches no integer key
+                value = int(value)
+            info = np.iinfo(dt)
+            if not (info.min <= int(value) <= info.max):
+                return out
+            value = dt.type(value)
         for i, seg in enumerate(col.segments):
             if not seg.zonemap_may_match("=", value):
                 continue

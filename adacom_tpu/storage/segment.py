@@ -95,8 +95,12 @@ class ColumnSegment:
             self.vmin = self.vmax = 0
 
         # the reference gates succinct on integer types + config
-        # (CreateTransientSegment, column_segment.cpp:45-82)
-        self.succinct_possible = bool(ltype.integer and config.succinct_enabled)
+        # (CreateTransientSegment, column_segment.cpp:45-82). VARCHAR
+        # segments here hold u32 dictionary codes, so FOR-bit-packing them
+        # is the reference's dictionary compression (codes packed at
+        # minimal width, dictionary_compression.cpp) — included.
+        self.succinct_possible = bool(
+            (ltype.integer or ltype.is_string) and config.succinct_enabled)
 
         # representation (exactly one of these is set when resident)
         self._state = PLAIN

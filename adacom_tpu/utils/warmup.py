@@ -12,6 +12,23 @@ import threading
 
 _done = False
 _lock = threading.Lock()
+_thread = None
+_lock_start = threading.Lock()
+
+
+def warm_in_background() -> None:
+    """Kick the device-link warmup off on a daemon thread so engine init
+    (and the caller's ingest) overlaps it instead of blocking on a
+    potentially minutes-long first tunneled pull."""
+    global _thread
+    if _done or _thread is not None:
+        return
+    with _lock_start:
+        if _done or _thread is not None:
+            return
+        _thread = threading.Thread(
+            target=ensure_transfer_warm, name="adacom-warmup", daemon=True)
+        _thread.start()
 
 
 def ensure_transfer_warm(force: bool = False) -> None:

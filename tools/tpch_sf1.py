@@ -7,9 +7,18 @@ query after a discarded cold run (benchmark_runner.cpp:120-131)."""
 import sys
 import time
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")  # host tier; see COMPARE.md note
+# default: host tier on CPU (see COMPARE.md note). TPU mode (--tpu or
+# ADACOM_TPCH_TPU=1): the real chip serves the Pallas scan/agg tiers
+# (multi-aggregate grouped fused scan for Q1-class queries).
+TPU_MODE = "--tpu" in sys.argv or os.environ.get("ADACOM_TPCH_TPU") == "1"
+if TPU_MODE:
+    sys.argv = [a for a in sys.argv if a != "--tpu"]
+else:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
@@ -46,17 +55,24 @@ def main():
         means[qid] = ts
         print(f"Q{qid:02d} mean {np.mean(ts):.3f}s "
               f"(+/- {np.std(ts):.3f})", file=sys.stderr, flush=True)
-    with open("TPCH_SF1.tsv", "w") as f:
+    out_tsv = "TPCH_SF1_TPU.tsv" if TPU_MODE else "TPCH_SF1.tsv"
+    with open(out_tsv, "w") as f:
         f.write("\n".join(rows_tsv) + "\n")
     lines = [
         "# TPC-H SF1: adacom_tpu vs the reference's committed runtimes",
         "",
         "Reference numbers: /root/reference/TPCH_runtime.txt (means of 5",
         "runs, threads = hardware concurrency on an unspecified server).",
-        "This run: synthetic SF1 corpus (bench/tpch.py), host execution",
-        "tier on THIS container's 2 vCPUs (the TPU tier serves scan/agg",
-        "shapes; joins ride the native C++ host path), mean of "
-        f"{nruns} hot runs",
+        ("This run: synthetic SF1 corpus (bench/tpch.py), REAL TPU chip"
+         if TPU_MODE else
+         "This run: synthetic SF1 corpus (bench/tpch.py), host execution"),
+        ("serving the Pallas scan/agg tiers (other shapes ride the host"
+         if TPU_MODE else
+         "tier on THIS container's 2 vCPUs (the TPU tier serves scan/agg"),
+        ("tier on 2 vCPUs), mean of "
+         if TPU_MODE else
+         "shapes; joins ride the native C++ host path), mean of ")
+        + f"{nruns} hot runs",
         "after a discarded cold run. All 22 results verified against the",
         "sqlite oracle at SF1 (TPCH_SF1_VERIFY.json).",
         "",
@@ -74,7 +90,8 @@ def main():
                      f"| {r:.3f} | {m / r:.1f}x |")
     lines.append(f"| **total** | **{tot:.2f}** |  | **{rtot:.2f}** | "
                  f"**{tot / rtot:.1f}x** |")
-    with open("TPCH_SF1_COMPARE.md", "w") as f:
+    out_md = "TPCH_SF1_TPU_COMPARE.md" if TPU_MODE else "TPCH_SF1_COMPARE.md"
+    with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"total {tot:.2f}s vs reference {rtot:.2f}s")
 
