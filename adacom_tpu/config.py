@@ -66,6 +66,16 @@ class DBConfig:
     # hardware where the link is PCIe/ICI-speed.
     device_join_rows: int = 50_000_000
     device_sort_rows: int = 50_000_000
+    # Grouped aggregates over dense domains too large for the one-hot
+    # Pallas tiers ride the pooled XLA device kernel only when the table
+    # has at least this many rows; below it the host hash aggregate wins
+    # (measured: TPC-H Q15, 10k-supplier domain over 6M rows, 1.23 s per
+    # device aggregate vs 0.33 s for the whole query on host).
+    device_agg_min_rows: int = 32_000_000
+    # Fold the aggregate sink into the streamed join probe pipeline
+    # (scan -> probe -> partial-agg per morsel; the joined intermediate
+    # never materializes). Requires streaming_join_enabled.
+    streaming_agg_sink_enabled: bool = True
     # Adaptive auto-indexing: after this many selective equality probes on
     # an un-indexed column whose zonemaps can't prune (interleaved key
     # distributions, e.g. the FBWorkload prefix-random u64 trace), the
@@ -129,6 +139,7 @@ class DBConfig:
             "pallas_scan_enabled",
             "fsst_dictionary_enabled",
             "streaming_join_enabled",
+            "streaming_agg_sink_enabled",
         }
     )
 
@@ -163,7 +174,8 @@ class DBConfig:
             self.compression_codec = v
         elif key in ("host_scan_segment_limit", "device_join_rows",
                      "device_sort_rows", "distributed_join_rows",
-                     "index_join_max_probe"):
+                     "index_join_max_probe", "auto_index_threshold",
+                     "device_agg_min_rows"):
             setattr(self, key, int(value))
         elif key == "segment_rows":
             n = int(value)

@@ -688,8 +688,41 @@ class Executor:
         # fused scan-aggregate fast path
         if isinstance(child, b.LogicalGet):
             return self._aggregate_over_scan(node, child, lits)
+        if isinstance(child, b.LogicalJoin):
+            mat = self._try_streaming_join_agg(node, child, lits)
+            if mat is not None:
+                return mat
         mat = self._exec(child, lits)
         return self._aggregate_host(node, mat, lits)
+
+    def _try_streaming_join_agg(self, node: b.LogicalAggregate,
+                                join: b.LogicalJoin, lits) -> Optional[Mat]:
+        """Aggregate sink fused into the streamed join probe (reference
+        pipeline_executor.cpp push loop: scan -> probe -> hash-agg sink
+        in 2048-row chunks): joined morsels fold into partial group state
+        with amortized merges — the joined intermediate (TPC-H Q18's
+        lineitem x orders) never materializes at once."""
+        if not getattr(self.config, "streaming_agg_sink_enabled", True):
+            return None
+        specs, finishers = self._agg_specs(node)
+        if any(d for *_x, d in specs):
+            return None
+        if any(k == "hll" or k.startswith("q:") for k, *_x in specs):
+            return None
+        if not self._streaming_join_eligible(join) or \
+                join.join_type != "inner":
+            return None
+        # index-join reductions beat streaming; let _exec_join pick them
+        if self._ij_eligible(join, "right") or self._ij_eligible(join, "left"):
+            return None
+        right = self._exec(join.right, lits)
+        fold = _StreamAggFold(self, node, lits, specs, finishers)
+        got = self._exec_join_streaming(join, right, lits, fold=fold)
+        if got is None:
+            # dynamic bail (memory budget / non-numpy filter): replay the
+            # materializing path
+            return None
+        return fold.finish()
 
     def _agg_specs(self, node: b.LogicalAggregate):
         """Flatten BoundAggregates into primitive partial specs.
@@ -882,6 +915,21 @@ class Executor:
             # (quantile/HLL) take the host tier
             mat = self._materialize_scan(get, lits)
             return self._aggregate_host(node, mat, lits)
+        if grouped and dense is not None and \
+                getattr(self.db, "mesh", None) is None and \
+                jax.default_backend() == "tpu" and \
+                get.table.row_count() < getattr(
+                    self.config, "device_agg_min_rows", 32_000_000):
+            from adacom_tpu.ops import pallas_scan as _ps
+
+            if dense[3] > _ps.MAX_MULTI_GROUPS:
+                # large dense domains can't ride the one-hot Pallas tiers;
+                # the XLA scatter-style pooled kernel loses to the host
+                # hash aggregate at this scale (TPC-H Q15: 1.23 s/agg on
+                # device vs 0.33 s whole-query on host) — cost-route to
+                # host until the table is big enough to amortize
+                mat = self._materialize_scan(get, lits)
+                return self._aggregate_host(node, mat, lits)
 
         # compile group + agg arg expressions once
         comp = ExprCompiler()
@@ -1697,6 +1745,15 @@ class Executor:
         """Host hash aggregate over a materialized batch (large domains,
         non-scan children)."""
         specs, finishers = self._agg_specs(node)
+        uniq, prim = self._agg_partials(node, mat, lits, specs)
+        return self._finish_agg(node, specs, finishers, uniq, prim)
+
+    def _agg_partials(self, node: b.LogicalAggregate, mat: Mat, lits,
+                      specs):
+        """Group keys + primitive partial arrays for one batch — the
+        local (per-morsel) half of the reference's local->global sink
+        merge (partitionable_hashtable.cpp). Returns (uniq_key_arrays,
+        prim_arrays); ungrouped batches return ([], [len-1 arrays])."""
         n = mat.nrows
         # evaluate group exprs + agg args (deduped by identity, matching the
         # consumption order below)
@@ -1781,7 +1838,49 @@ class Executor:
                                             float(qs), interp))
             else:
                 raise ExecError(kind)
+        return uniq, prim
 
+    def _combine_partials(self, node, specs, keys_parts, prims_parts):
+        """Merge per-morsel partials into one (uniq, prim) — the global
+        half of the local->global sink merge. Mergeable kinds only
+        (count/sum/sumsq/min/max); callers gate out distinct/holistic."""
+        ng = len(node.groups)
+        if ng == 0:
+            prim = []
+            for si, (kind, _a, acc, _d) in enumerate(specs):
+                vals = np.asarray([pp[si][0] for pp in prims_parts])
+                if kind == "min":
+                    merged = vals.min()
+                elif kind == "max":
+                    merged = vals.max()
+                else:
+                    merged = vals.sum()
+                prim.append(np.asarray([merged]))
+            return [], prim
+        keys = [np.concatenate([kp[g] for kp in keys_parts])
+                for g in range(ng)]
+        uniq, gid = _unique_rows(keys)
+        n_groups = len(uniq[0]) if uniq else 0
+        prim = []
+        for si, (kind, _a, acc, _d) in enumerate(specs):
+            v = np.concatenate([pp[si] for pp in prims_parts])
+            if kind in ("min", "max"):
+                sent = (agg_ops._max_sentinel(v.dtype) if kind == "min"
+                        else agg_ops._min_sentinel(v.dtype))
+                out = np.full(n_groups, sent, dtype=v.dtype)
+                ufunc = np.minimum if kind == "min" else np.maximum
+                ufunc.at(out, gid, v)
+            elif v.dtype in (np.dtype(np.int64), np.dtype(np.float64)):
+                from adacom_tpu import native as _native
+
+                out = _native.group_sum(gid, v, n_groups).astype(v.dtype)
+            else:
+                out = np.zeros(n_groups, dtype=v.dtype)
+                np.add.at(out, gid, v)
+            prim.append(out)
+        return uniq, prim
+
+    def _finish_agg(self, node, specs, finishers, uniq, prim) -> Mat:
         if not node.groups:
             scal = [p[0] if isinstance(p, np.ndarray) else p for p in prim]
             out_vals = [f(scal) for f in finishers]
@@ -1966,8 +2065,21 @@ class Executor:
             lcols + rcols, lvalids + rvalids,
         )
 
+    def _streaming_join_eligible(self, node: b.LogicalJoin) -> bool:
+        """Cheap static gates for the streamed probe pipeline (callers
+        that pre-execute the build side check these first)."""
+        from adacom_tpu import native as _native
+
+        return bool(
+            getattr(self.config, "streaming_join_enabled", True)
+            and getattr(self.db, "mesh", None) is None
+            and _native.available()
+            and node.conditions and node.residual is None
+            and node.join_type in ("inner", "semi", "anti")
+            and isinstance(node.left, b.LogicalGet))
+
     def _exec_join_streaming(self, node: b.LogicalJoin, right: Mat,
-                             lits) -> Optional[Mat]:
+                             lits, fold=None) -> Optional[Mat]:
         """Pipelined hash-join probe (reference pipeline_executor.cpp:38
         push loop + JoinHashTable::Probe): the build side materialized
         once into a persistent native hash table, the probe side streamed
@@ -2061,6 +2173,39 @@ class Executor:
             return chunk.take(keep), None
 
         from adacom_tpu.parallel.scheduler import TaskScheduler
+
+        if fold is not None:
+            # aggregate sink fused into the probe pipeline (reference
+            # PipelineExecutor push loop ending in a HashAggregate sink):
+            # joined morsels fold into partial aggregate state wave by
+            # wave and are freed — the joined table never materializes
+            if jt != "inner":
+                ht.close()
+                return None
+            dicts_j = list(getattr(node, "dicts", [None] * len(node.names)))
+            wave = max(4, (self.config.threads
+                           or TaskScheduler.get().n_threads) * 4)
+            try:
+                for w0 in range(0, len(candidates), wave):
+                    results = TaskScheduler.get().map_segments(
+                        probe_morsel, candidates[w0:w0 + wave],
+                        threads=self.config.threads)
+                    for chunk, ri in results:
+                        if chunk.nrows == 0:
+                            continue
+                        rcols = [_gather_rows(c, ri) for c in right.cols]
+                        rvalids = [None if v is None else _gather_rows(v, ri)
+                                   for v in right.valids]
+                        fold.add(Mat(list(node.names), list(node.types),
+                                     dicts_j, chunk.cols + rcols,
+                                     chunk.valids + rvalids))
+            except _FallbackToDevice:
+                return None
+            finally:
+                ht.close()
+            self.db.dist_stats["streamed_join_agg"] = \
+                self.db.dist_stats.get("streamed_join_agg", 0) + 1
+            return fold
 
         try:
             results = TaskScheduler.get().map_segments(
@@ -2820,6 +2965,67 @@ def _agg_finalize_row(node, out_vals):
             cols.append(np.asarray([v]))
             valids.append(None)
     return cols, valids
+
+
+class _StreamAggFold:
+    """Partial-aggregation sink for the streamed join pipeline: morsels
+    fold into (group-keys, primitive-partials) state; pending partials
+    re-merge whenever they outgrow the merged state (amortized O(n) —
+    the reference's local->global radix-partitioned combine,
+    partitionable_hashtable.cpp, in vectorized-numpy form)."""
+
+    def __init__(self, ex, node, lits, specs, finishers):
+        self.ex = ex
+        self.node = node
+        self.lits = lits
+        self.specs = specs
+        self.finishers = finishers
+        self.keys_parts: list = []
+        self.prims_parts: list = []
+        self.rows_pending = 0
+        self.merged = None
+        self.saw_rows = False
+
+    def add(self, mat: "Mat") -> None:
+        if mat.nrows == 0:
+            return
+        self.saw_rows = True
+        uniq, prim = self.ex._agg_partials(self.node, mat, self.lits,
+                                           self.specs)
+        self.keys_parts.append(uniq)
+        self.prims_parts.append(prim)
+        self.rows_pending += len(prim[0]) if prim else 0
+        base = len(self.merged[1][0]) if self.merged else 0
+        if self.rows_pending > max(1 << 18, base):
+            self._merge()
+
+    def _merge(self) -> None:
+        if not self.keys_parts:
+            return
+        kp, pp = self.keys_parts, self.prims_parts
+        if self.merged is not None:
+            kp = [self.merged[0]] + kp
+            pp = [self.merged[1]] + pp
+        self.merged = self.ex._combine_partials(self.node, self.specs,
+                                                kp, pp)
+        self.keys_parts, self.prims_parts = [], []
+        self.rows_pending = 0
+
+    def finish(self) -> "Mat":
+        self._merge()
+        if self.merged is None:
+            # no matching rows anywhere: aggregate an empty batch for the
+            # correct empty-group / NULL-sum semantics
+            child = self.node.child
+            empty = Mat(
+                list(child.names), list(child.types),
+                list(getattr(child, "dicts", [None] * len(child.names))),
+                [np.empty(0, compute_dtype_of(t)) for t in child.types],
+                [None] * len(child.types))
+            return self.ex._aggregate_host(self.node, empty, self.lits)
+        uniq, prim = self.merged
+        return self.ex._finish_agg(self.node, self.specs, self.finishers,
+                                   uniq, prim)
 
 
 def _poly_decompose(e: b.BExpr, lits):

@@ -24,6 +24,13 @@ import numpy as np
 from adacom_tpu import types as tt
 from adacom_tpu.sql import bound as b
 
+
+def _xp(v):
+    """numpy for host arrays, jnp for device arrays: host-tier expression
+    evaluation must never bounce through the (tunneled) device — a single
+    jnp op on a numpy input costs a ~25 ms dispatch per morsel there."""
+    return np if isinstance(v, np.ndarray) else jnp
+
 # an evaluated expression: (values array, validity bool array or None)
 EV = Tuple[Any, Optional[Any]]
 
@@ -119,8 +126,9 @@ class ExprCompiler:
             def fn(cols, args):
                 v, m = cf(cols, args)
                 if m is None:
+                    xp = _xp(v)
                     shape = v.shape
-                    r = jnp.zeros(shape, jnp.bool_) if not neg else jnp.ones(shape, jnp.bool_)
+                    r = xp.zeros(shape, np.bool_) if not neg else xp.ones(shape, np.bool_)
                 else:
                     r = m if neg else ~m
                 return r, None
@@ -144,7 +152,7 @@ class ExprCompiler:
             elif dst_ty.name == "DECIMAL" and src_ty.is_float:
                 def fn(cols, args):
                     v, m = cf(cols, args)
-                    return jnp.round(v * (10 ** dst_ty.scale)).astype(dst), m
+                    return _xp(v).round(v * (10 ** dst_ty.scale)).astype(dst), m
                 return fn
             elif dst_ty.is_float and src_ty.name == "DECIMAL":
                 div = 10.0 ** src_ty.scale
@@ -176,19 +184,20 @@ class ExprCompiler:
                     cv, cm = cf(cols, args)
                     vv, vm = vf(cols, args)
                     conds.append((cv if cm is None else (cv & cm), vv, vm))
+                xp = _xp(conds[0][0]) if conds else jnp
                 if elsef is not None:
                     acc, accm = elsef(cols, args)
                 else:
                     ref = conds[0][1]
-                    acc = jnp.zeros_like(ref, dtype=dst)
-                    accm = jnp.zeros(acc.shape, jnp.bool_)  # NULL else
+                    acc = xp.zeros(np.shape(ref), dtype=dst)
+                    accm = xp.zeros(np.shape(acc), np.bool_)  # NULL else
                 acc = acc.astype(dst) if hasattr(acc, "astype") else acc
                 for cv, vv, vm in reversed(conds):
-                    acc = jnp.where(cv, vv.astype(dst), acc)
+                    acc = xp.where(cv, vv.astype(dst) if hasattr(vv, "astype") else vv, acc)
                     if accm is not None or vm is not None:
-                        am = accm if accm is not None else jnp.ones(acc.shape, jnp.bool_)
-                        wm = vm if vm is not None else jnp.ones(acc.shape, jnp.bool_)
-                        accm = jnp.where(cv, wm, am)
+                        am = accm if accm is not None else xp.ones(np.shape(acc), np.bool_)
+                        wm = vm if vm is not None else xp.ones(np.shape(acc), np.bool_)
+                        accm = xp.where(cv, wm, am)
                 return acc, accm
             return fn
 
@@ -229,6 +238,8 @@ class ExprCompiler:
 
             def fn(cols, args):
                 v, m = cf(cols, args)
+                if isinstance(v, np.ndarray):
+                    return lut[np.minimum(v, lut.shape[0] - 1)], m
                 t = jnp.asarray(lut)
                 return t[jnp.minimum(v, t.shape[0] - 1)], m
             return fn
@@ -242,6 +253,8 @@ class ExprCompiler:
 
             def fn(cols, args):
                 v, m = cf(cols, args)
+                if isinstance(v, np.ndarray):
+                    return lut[np.minimum(v, lut.shape[0] - 1)], m
                 t = jnp.asarray(lut)
                 return t[jnp.minimum(v, t.shape[0] - 1)], m
             return fn
@@ -302,10 +315,11 @@ class ExprCompiler:
             def fn(cols, args):
                 v, m = opf(cols, args)
                 arr = args[k]
-                idx = jnp.clip(jnp.searchsorted(arr, v), 0, arr.shape[0] - 1)
+                xp = _xp(v)
+                idx = xp.clip(xp.searchsorted(arr, v), 0, arr.shape[0] - 1)
                 hit = arr[idx] == v
                 if node.cached_value is None or len(node.cached_value) == 0:
-                    hit = jnp.zeros_like(hit)
+                    hit = xp.zeros_like(hit)
                 return (~hit if neg else hit), m
             return fn
 
@@ -577,7 +591,7 @@ class ExprCompiler:
         def fn(cols, args):
             v, m = colf(cols, args)
             lut = args[k]
-            hit = lut[jnp.minimum(v, lut.shape[0] - 1)]
+            hit = lut[_xp(v).minimum(v, lut.shape[0] - 1)]
             if neg:
                 hit = ~hit
             return hit, m

@@ -316,3 +316,52 @@ def test_delete_masks_are_pinned_versions(db):
     rt.join()
     assert not bad, bad[:3]
     assert int(wcon.query("SELECT count(*) FROM t").scalar()) == 0
+
+
+def test_concurrent_reader_with_delete_update_mix(db):
+    """Readers stay consistent while a writer interleaves DELETE and
+    UPDATE statements (VERDICT r4 next #10: version-pinned delete masks
+    under mixed DML). Invariant: the table holds rows 0..9999 with
+    value v in {orig, orig+1000000}; a reader must never see a count
+    outside [9000, 10000] (deletes remove exactly rows 0..999 at the
+    end) nor a sum that mixes a partially-applied statement."""
+    wcon = db.connect()
+    wcon.query("CREATE TABLE t(i BIGINT, v BIGINT)")
+    app = wcon.appender("t")
+    app.append_columns({
+        "i": np.arange(10_000, dtype=np.int64),
+        "v": np.arange(10_000, dtype=np.int64)})
+    app.close()
+    stop = threading.Event()
+    bad = []
+
+    def reader():
+        try:
+            c = db.connect()
+            while not stop.is_set():
+                n = int(c.query("SELECT count(*) FROM t").scalar())
+                if not (9_000 <= n <= 10_000):
+                    bad.append(("count", n))
+                    return
+        except Exception as e:
+            bad.append(repr(e))
+            raise
+
+    rts = [threading.Thread(target=reader) for _ in range(2)]
+    for t in rts:
+        t.start()
+    # interleave UPDATEs (delete+reappend) and a DELETE
+    for k in range(0, 9_000, 1_000):
+        wcon.query(f"UPDATE t SET v = v + 1000000 WHERE i >= {k} "
+                   f"AND i < {k + 1000}")
+    wcon.query("DELETE FROM t WHERE i < 1000")
+    stop.set()
+    for t in rts:
+        t.join()
+    assert not bad, bad[:3]
+    r = wcon.query("SELECT count(*), sum(v) FROM t").fetchone()
+    assert int(r[0]) == 9_000
+    # updates covered i in [0, 9000); survivors are 1000..9999,
+    # so 8000 surviving rows carry the +1e6
+    exp = int(np.arange(1000, 10_000).sum()) + 8_000 * 1_000_000
+    assert int(r[1]) == exp

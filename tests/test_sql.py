@@ -360,8 +360,9 @@ def test_streaming_join_pipeline_engages():
     r = con.query(
         "SELECT d.grp, sum(f.v), count(*) FROM f JOIN d ON f.k = d.k "
         "WHERE f.v >= 100 GROUP BY d.grp ORDER BY d.grp").fetchall()
-    assert db.dist_stats.get("streamed_join", 0) > 0, \
-        "streaming join did not engage"
+    streamed = (db.dist_stats.get("streamed_join", 0)
+                + db.dist_stats.get("streamed_join_agg", 0))
+    assert streamed > 0, "streaming join did not engage"
     m = v >= 100
     for row in r:
         g = int(row[0])
