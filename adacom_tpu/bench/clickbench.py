@@ -361,3 +361,46 @@ def _register_benchmarks():
 
 
 _register_benchmarks()
+
+
+def verify_against_oracle(con, lite, qid: int) -> bool:
+    """Row-for-row comparison of query `qid` against the sqlite oracle
+    (the reference's answer-CSV verification, benchmark/clickbench/
+    answers, over identical synthetic data)."""
+    import math
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            row = []
+            for v in r:
+                if v is None:
+                    row.append(None)
+                elif isinstance(v, float) or (hasattr(v, "dtype")
+                                              and "float" in str(v.dtype)):
+                    row.append(round(float(v), 6))
+                elif isinstance(v, str):
+                    row.append(v)
+                else:
+                    row.append(int(v))
+            out.append(tuple(row))
+        return out
+
+    sql = QUERIES[qid]
+    got = norm(con.query(sql).fetchall())
+    exp = norm(lite.execute(ORACLE_QUERIES[qid]).fetchall())
+    if "ORDER BY" not in sql:
+        got, exp = sorted(got, key=repr), sorted(exp, key=repr)
+    if len(got) != len(exp):
+        return False
+    for g, e in zip(got, exp):
+        if len(g) != len(e):
+            return False
+        for gv, ev in zip(g, e):
+            if isinstance(gv, float) or isinstance(ev, float):
+                if gv is None or ev is None or not math.isclose(
+                        float(gv), float(ev), rel_tol=1e-9, abs_tol=1e-9):
+                    return False
+            elif gv != ev:
+                return False
+    return True
