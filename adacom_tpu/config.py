@@ -55,16 +55,13 @@ class DBConfig:
     # u32 plane, range predicate, sum/count/min/max). Falls back to the
     # XLA fused path when ineligible. Interpreted (slow) off-TPU.
     pallas_scan_enabled: bool = True
-    # Row-count thresholds above which joins/sorts run on the TPU
-    # (ops/device_join.py: device argsort + binary-search probe) instead
-    # of the host operators; 0 disables. Only active on a TPU backend —
-    # the fixed dispatch+transfer cost needs large inputs to amortize.
-    # Measured on the tunneled v5e (≈25 ms fixed latency per synchronized
-    # dispatch + slow host<->device link): a 4.7M-row join ran 7x FASTER
-    # on the host (TPC-H SF1 Q3, 1.0 s vs 7.2 s), so the default keeps
-    # joins host-side until far larger sizes; lower it on direct-attached
-    # hardware where the link is PCIe/ICI-speed.
-    device_join_rows: int = 50_000_000
+    # Row-count threshold above which ORDER BY runs on the TPU
+    # (ops/device_join.py lexsort) instead of the native radix sort;
+    # 0 disables. Only active on a TPU backend — the fixed
+    # dispatch+transfer cost needs large inputs to amortize. (The
+    # analogous single-chip device JOIN path was measured 8-14x slower
+    # than the native hash table at every feasible size and deleted:
+    # DEVICE_JOIN_CURVE.md.)
     device_sort_rows: int = 50_000_000
     # Grouped aggregates over dense domains too large for the one-hot
     # Pallas tiers ride the pooled XLA device kernel only when the table
@@ -172,7 +169,7 @@ class DBConfig:
             if v not in ("succinct", "auto", "uncompressed") and v not in _codecs.REGISTRY:
                 raise ValueError(f"unknown compression codec: {v}")
             self.compression_codec = v
-        elif key in ("host_scan_segment_limit", "device_join_rows",
+        elif key in ("host_scan_segment_limit",
                      "device_sort_rows", "distributed_join_rows",
                      "index_join_max_probe", "auto_index_threshold",
                      "device_agg_min_rows"):

@@ -605,6 +605,9 @@ class Executor:
 
     def _exec_project(self, node: b.LogicalProject, lits) -> Mat:
         mat = self._exec(node.child, lits)
+        return self._project_mat(node, mat, lits)
+
+    def _project_mat(self, node: b.LogicalProject, mat: Mat, lits) -> Mat:
         outs = self._eval_on_mat(node.exprs, mat, lits)
         n = mat.nrows
         cols = []
@@ -688,7 +691,7 @@ class Executor:
         # fused scan-aggregate fast path
         if isinstance(child, b.LogicalGet):
             return self._aggregate_over_scan(node, child, lits)
-        if isinstance(child, b.LogicalJoin):
+        if isinstance(child, (b.LogicalJoin, b.LogicalProject)):
             mat = self._try_streaming_join_agg(node, child, lits)
             if mat is not None:
                 return mat
@@ -696,33 +699,190 @@ class Executor:
         return self._aggregate_host(node, mat, lits)
 
     def _try_streaming_join_agg(self, node: b.LogicalAggregate,
-                                join: b.LogicalJoin, lits) -> Optional[Mat]:
-        """Aggregate sink fused into the streamed join probe (reference
-        pipeline_executor.cpp push loop: scan -> probe -> hash-agg sink
-        in 2048-row chunks): joined morsels fold into partial group state
-        with amortized merges — the joined intermediate (TPC-H Q18's
-        lineitem x orders) never materializes at once."""
+                                child, lits) -> Optional[Mat]:
+        """Aggregate sink fused into a streamed LEFT-DEEP pipeline
+        (reference pipeline_executor.cpp push loop: source -> operators
+        -> sink in 2048-row chunks): the plan spine
+        Aggregate <- [Project|Join]* <- Get streams the base table
+        segment-by-segment; every join's build side materializes ONCE
+        into a persistent native hash table, every Project re-applies
+        per morsel, and morsels fold into partial group state with
+        amortized merges — the joined intermediate (TPC-H Q18's
+        lineitem x orders x customer) never materializes at once."""
         if not getattr(self.config, "streaming_agg_sink_enabled", True):
+            return None
+        if getattr(self.db, "mesh", None) is not None:
+            return None
+        from adacom_tpu import native as _native
+
+        if not _native.available() or \
+                not getattr(self.config, "streaming_join_enabled", True):
             return None
         specs, finishers = self._agg_specs(node)
         if any(d for *_x, d in specs):
             return None
         if any(k == "hll" or k.startswith("q:") for k, *_x in specs):
             return None
-        if not self._streaming_join_eligible(join) or \
-                join.join_type != "inner":
+        # walk the left-deep spine down to a Get
+        stages = []  # outermost first; applied reversed per morsel
+        cur = child
+        while len(stages) < 8:
+            if isinstance(cur, b.LogicalProject):
+                stages.append(("project", cur))
+                cur = cur.child
+            elif isinstance(cur, b.LogicalJoin):
+                if (not cur.conditions or cur.residual is not None
+                        or cur.join_type not in ("inner", "semi", "anti")):
+                    return None
+                if self._ij_eligible(cur, "right") or \
+                        self._ij_eligible(cur, "left"):
+                    return None  # index-join reductions beat streaming
+                stages.append(("join", cur))
+                cur = cur.left
+            else:
+                break
+        if not isinstance(cur, b.LogicalGet) or \
+                not any(k == "join" for k, _n in stages):
             return None
-        # index-join reductions beat streaming; let _exec_join pick them
-        if self._ij_eligible(join, "right") or self._ij_eligible(join, "left"):
-            return None
-        right = self._exec(join.right, lits)
-        fold = _StreamAggFold(self, node, lits, specs, finishers)
-        got = self._exec_join_streaming(join, right, lits, fold=fold)
-        if got is None:
-            # dynamic bail (memory budget / non-numpy filter): replay the
-            # materializing path
-            return None
-        return fold.finish()
+        get = cur
+
+        # build every join stage's hash table (build sides materialize
+        # once — the reference's per-pipeline sink dependency)
+        budget = getattr(self.config, "memory_limit", None)
+        built = {}  # id(join node) -> (right, rkeys, exact, rk64, ht)
+        try:
+            for kind, jn in stages:
+                if kind != "join":
+                    continue
+                right = self._exec(jn.right, lits)
+                rkeys = []
+                for _le, re_ in jn.conditions:
+                    (rv, rm), = self._eval_on_mat([re_], right, lits)
+                    rk = np.asarray(rv)
+                    if rm is not None:
+                        rk = np.where(np.asarray(rm), rk,
+                                      _null_key(rk.dtype))
+                    rkeys.append(rk)
+                if budget and len(rkeys[0]) * 24 > budget // 2:
+                    return None  # beyond budget: grace-hash spill path
+                exact = (len(rkeys) == 1 and rkeys[0].dtype.kind in "iu"
+                         and rkeys[0].dtype != np.uint64)
+                rk64 = (np.ascontiguousarray(rkeys[0], dtype=np.int64)
+                        if exact else _row_keys(rkeys).view(np.int64))
+                ht = _native.JoinTable(rk64)
+                built[id(jn)] = (right, rkeys, exact, ht)
+
+            fold = _StreamAggFold(self, node, lits, specs, finishers)
+            ok = self._stream_pipeline(get, stages, built, fold, lits)
+            if not ok:
+                return None
+            self.db.dist_stats["streamed_join_agg"] = \
+                self.db.dist_stats.get("streamed_join_agg", 0) + 1
+            return fold.finish()
+        finally:
+            for _r, _k, _e, ht in built.values():
+                ht.close()
+
+    def _stream_pipeline(self, get, stages, built, fold, lits) -> bool:
+        """Drive the pipeline: scan morsels in parallel waves, apply the
+        stage chain per morsel (workers), fold serially. Returns False to
+        signal the caller to fall back (non-numpy filter/expr)."""
+        from adacom_tpu.parallel.scheduler import TaskScheduler
+
+        snap = self._pin_snapshot(get.table)
+        filt = self._compiled_filter(get)
+        params = filt.prep_args(lits) if filt is not None else ()
+        candidates = self._zonemap_candidates(get, lits, snap)
+        dicts_g = list(getattr(get, "dicts", [None] * len(get.names)))
+
+        def run_morsel(i):
+            mat = self._scan_chunk_host(get, snap, i, filt, params, dicts_g)
+            for kind, n_ in reversed(stages):
+                if mat.nrows == 0:
+                    return mat
+                if kind == "project":
+                    mat = self._project_mat(n_, mat, lits)
+                else:
+                    mat = self._apply_probe_stage(n_, built[id(n_)], mat,
+                                                  lits)
+            return mat
+
+        wave = max(4, (self.config.threads
+                       or TaskScheduler.get().n_threads) * 4)
+        try:
+            for w0 in range(0, len(candidates), wave):
+                results = TaskScheduler.get().map_segments(
+                    run_morsel, candidates[w0:w0 + wave],
+                    threads=self.config.threads)
+                for mat in results:
+                    fold.add(mat)
+        except _FallbackToDevice:
+            return False
+        return True
+
+    def _scan_chunk_host(self, get, snap, i, filt, params, dicts) -> Mat:
+        """One filtered scan morsel as a host Mat (the pipeline source)."""
+        segs = [snap.segment(c, i) for c in get.column_ids]
+        cols = [(s.host_plain(), s.host_validity()) for s in segs]
+        n = segs[0].count if segs else 0
+        mask = None
+        if filt is not None:
+            try:
+                fv, fm = filt.fn(cols, params)
+            except Exception:
+                raise _FallbackToDevice()
+            if not isinstance(fv, np.ndarray):
+                raise _FallbackToDevice()
+            mask = fv if fm is None else (fv & fm)
+        dm = snap.delete_mask(i)
+        if dm is not None:
+            dmx = np.zeros(n, dtype=bool)
+            dmx[: min(len(dm), n)] = dm[:n]
+            mask = ~dmx if mask is None else (mask & ~dmx)
+        rows = np.nonzero(mask)[0] if mask is not None else None
+        return Mat(
+            list(get.names), list(get.types), dicts,
+            [c[rows] if rows is not None else c for c, _v in cols],
+            [None if v is None else (v[rows] if rows is not None else v)
+             for _c, v in cols],
+        )
+
+    def _apply_probe_stage(self, jn, st, chunk: Mat, lits) -> Mat:
+        """Probe one join stage's persistent hash table with a morsel."""
+        right, rkeys, exact, ht = st
+        jt = jn.join_type
+        lkeys = []
+        for le, _re in jn.conditions:
+            (lv, lm), = self._eval_on_mat([le], chunk, lits)
+            lk = np.asarray(lv)
+            if not isinstance(lv, np.ndarray):
+                raise _FallbackToDevice()
+            if lm is not None:
+                lk = np.where(np.asarray(lm), lk, _null_key(lk.dtype))
+            lkeys.append(lk)
+        lk64 = (np.ascontiguousarray(lkeys[0], dtype=np.int64) if exact
+                else _row_keys(lkeys).view(np.int64))
+        li, ri = ht.probe(lk64)
+        if not exact and len(li):
+            ok = np.ones(len(li), dtype=bool)
+            for lcol, rcol in zip(lkeys, rkeys):
+                ok &= lcol[li].astype(np.int64) == \
+                    rcol[ri].astype(np.int64)
+            li, ri = li[ok], ri[ok]
+        dicts_j = list(getattr(jn, "dicts", [None] * len(jn.names)))
+        if jt == "inner":
+            left = chunk.take(li)
+            rcols = [_gather_rows(c, ri) for c in right.cols]
+            rvalids = [None if v is None else _gather_rows(v, ri)
+                       for v in right.valids]
+            return Mat(list(jn.names), list(jn.types), dicts_j,
+                       left.cols + rcols, left.valids + rvalids)
+        matched = np.zeros(chunk.nrows, dtype=bool)
+        matched[li] = True
+        keep = np.nonzero(matched if jt == "semi" else ~matched)[0]
+        out = chunk.take(keep)
+        return Mat(list(jn.names), list(jn.types), dicts_j,
+                   out.cols, out.valids)
 
     def _agg_specs(self, node: b.LogicalAggregate):
         """Flatten BoundAggregates into primitive partial specs.
@@ -2079,7 +2239,7 @@ class Executor:
             and isinstance(node.left, b.LogicalGet))
 
     def _exec_join_streaming(self, node: b.LogicalJoin, right: Mat,
-                             lits, fold=None) -> Optional[Mat]:
+                             lits) -> Optional[Mat]:
         """Pipelined hash-join probe (reference pipeline_executor.cpp:38
         push loop + JoinHashTable::Probe): the build side materialized
         once into a persistent native hash table, the probe side streamed
@@ -2173,39 +2333,6 @@ class Executor:
             return chunk.take(keep), None
 
         from adacom_tpu.parallel.scheduler import TaskScheduler
-
-        if fold is not None:
-            # aggregate sink fused into the probe pipeline (reference
-            # PipelineExecutor push loop ending in a HashAggregate sink):
-            # joined morsels fold into partial aggregate state wave by
-            # wave and are freed — the joined table never materializes
-            if jt != "inner":
-                ht.close()
-                return None
-            dicts_j = list(getattr(node, "dicts", [None] * len(node.names)))
-            wave = max(4, (self.config.threads
-                           or TaskScheduler.get().n_threads) * 4)
-            try:
-                for w0 in range(0, len(candidates), wave):
-                    results = TaskScheduler.get().map_segments(
-                        probe_morsel, candidates[w0:w0 + wave],
-                        threads=self.config.threads)
-                    for chunk, ri in results:
-                        if chunk.nrows == 0:
-                            continue
-                        rcols = [_gather_rows(c, ri) for c in right.cols]
-                        rvalids = [None if v is None else _gather_rows(v, ri)
-                                   for v in right.valids]
-                        fold.add(Mat(list(node.names), list(node.types),
-                                     dicts_j, chunk.cols + rcols,
-                                     chunk.valids + rvalids))
-            except _FallbackToDevice:
-                return None
-            finally:
-                ht.close()
-            self.db.dist_stats["streamed_join_agg"] = \
-                self.db.dist_stats.get("streamed_join_agg", 0) + 1
-            return fold
 
         try:
             results = TaskScheduler.get().map_segments(
@@ -3349,14 +3476,11 @@ def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray],
         P = max(2, ((len(lk) + len(rk)) * 24) // max(budget // 8, 1))
         li, ri = spill.partitioned_join_pairs(lk, rk, P)
         return spill.verify_pairs_chunked(lkeys, rkeys, li, ri)
-    thresh = getattr(config, "device_join_rows", 0) if config else 0
-    if thresh and len(lk) + len(rk) >= thresh:
-        from adacom_tpu.ops import device_join
-
-        if device_join.on_tpu():
-            li, ri = device_join.join_pairs(lk.view(np.int64),
-                                            rk.view(np.int64))
-            return verify(li, ri)
+    # NOTE: a single-chip device join (argsort + searchsorted,
+    # ops/device_join.py round 2-4) was measured 8-14x SLOWER than the
+    # native chained hash table at every size from 100k to 4M rows on
+    # this link (DEVICE_JOIN_CURVE.md) — the dead dispatch path was
+    # removed; multi-chip joins shuffle over the mesh above instead.
     # native chained-bucket hash table with threaded probes (reference
     # JoinHashTable::Build/Probe); falls back to the vectorized numpy
     # sort-probe join without the .so

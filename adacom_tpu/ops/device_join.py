@@ -5,13 +5,13 @@ Reference capabilities: JoinHashTable::Build/Probe
 sort (src/common/sort/radix_sort.cpp:110) with key normalization to
 byte-comparable form (src/common/sort/sort_state.cpp).
 
-TPU-native redesign: the equi-join is SORT-BASED — a device argsort of
-the build-side key hashes plus a vectorized binary search per probe key
-(the same static-shape pattern the distributed layer uses,
-parallel/ops.py make_distributed_join) — because a chained hash table
-needs data-dependent pointer chasing the VPU can't do, while sort +
-searchsorted is O(n log n) of pure vector work. Sorts use order-preserving
-u64 key normalization and jnp.argsort/lexsort on device.
+TPU-native redesign: device sorts use order-preserving u64 key
+normalization and jnp.argsort/lexsort. A single-chip sort-based equi-join
+(argsort + searchsorted) lived here rounds 2-4; it measured 8-14x slower
+than the native chained hash table at every size from 100k to 4M rows on
+the tunneled link (DEVICE_JOIN_CURVE.md), so the dead path was deleted —
+multi-chip joins shuffle over the mesh (parallel/ops.py
+make_distributed_join, which keeps the sort+searchsorted local probe).
 
 Inputs/outputs are host numpy (materialized batches live host-side); the
 device does the O(n log n) work, the host does the final variable-length
@@ -31,50 +31,6 @@ import numpy as np
 
 def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
-
-
-@functools.lru_cache(maxsize=1)
-def _join_fn():
-    @jax.jit
-    def f(lk, rk):
-        order = jnp.argsort(rk, stable=True)
-        rks = rk[order]
-        lo = jnp.searchsorted(rks, lk, side="left")
-        hi = jnp.searchsorted(rks, lk, side="right")
-        return order, lo.astype(jnp.int64), hi.astype(jnp.int64)
-
-    return f
-
-
-def join_ranges(lk: np.ndarray, rk: np.ndarray):
-    """Device sort+binary-search: for each left key, the [lo, hi) run of
-    matching positions in the sorted right side, plus the sort order.
-
-    Keys must be a consistent total order on both sides (any bijective
-    transform of the equality classes works — callers pass 64-bit hashes
-    viewed as int64)."""
-    f = _join_fn()
-    order, lo, hi = f(jnp.asarray(lk), jnp.asarray(rk))
-    return np.asarray(order), np.asarray(lo), np.asarray(hi)
-
-
-def join_pairs(lk: np.ndarray, rk: np.ndarray):
-    """All matching (left_idx, right_idx) candidate pairs by key equality.
-
-    Device does the sort + binary searches; host expands the variable-
-    length runs. Callers must verify true key equality afterwards (hash
-    collisions)."""
-    order, lo, hi = join_ranges(lk, rk)
-    counts = hi - lo
-    total = int(counts.sum())
-    li = np.repeat(np.arange(len(lk), dtype=np.int64), counts)
-    if total == 0:
-        return li, np.zeros(0, dtype=np.int64)
-    starts = np.repeat(lo, counts)
-    base = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    within = np.arange(total, dtype=np.int64) - np.repeat(base, counts)
-    ri = order[starts + within]
-    return li, ri
 
 
 @functools.lru_cache(maxsize=8)
