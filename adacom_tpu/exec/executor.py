@@ -1585,6 +1585,12 @@ class Executor:
 
         mono_cols = sorted({c for m in monos for c in m})
         plane_cols = sorted(set(mono_cols) | set(ranges))
+        if not plane_cols and not gcols:
+            # nothing to unpack (bare count(*)): the kernel would have no
+            # word planes to derive the lane count from (a class of
+            # all-constant/absent planes once mis-counted segments wider
+            # than TILE_L lanes); the host answers counts from metadata
+            return None
         if len(plane_cols) > pallas_scan.MAX_MULTI_PLANES or \
                 len(gcols) > 6:
             return None
@@ -1662,6 +1668,9 @@ class Executor:
             if cache is None:
                 cache = get.table._pool_cache = {}
             for ckey, entries in classes.items():
+                if not any(w > 0 for _c, w in ckey):
+                    # all-constant planes: no words to size the lane grid
+                    return None
                 scal = np.zeros((len(entries), 32), np.uint32)
                 seg_sig = []
                 for ei, (i, cnt_i, planes) in enumerate(entries):

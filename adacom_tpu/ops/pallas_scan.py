@@ -853,7 +853,11 @@ def multi_grouped_scan_table(gstacks, vstacks, scal, n_groups, strides,
     gws = tuple(0 if s is None else int(s.shape[1]) for s in gstacks)
     vws = tuple(0 if s is None else int(s.shape[1]) for s in vstacks)
     stacks = [s for s in list(gstacks) + list(vstacks) if s is not None]
-    n_lanes = max((int(s.shape[2]) for s in stacks), default=TILE_L)
+    if not stacks:
+        # no word planes: the lane grid (and thus per-segment row
+        # capacity) cannot be derived — callers must route to the host
+        raise ValueError("multi grouped scan needs at least one word plane")
+    n_lanes = max(int(s.shape[2]) for s in stacks)
     if n_lanes % TILE_L:
         n_lanes += TILE_L - n_lanes % TILE_L
     lane8 = n_lanes // 8

@@ -160,3 +160,25 @@ def test_auto_index_builds_and_serves():
     con.query("INSERT INTO t VALUES (777)")
     assert con.query("SELECT i FROM t WHERE i == 777").row_count == 1
     db.close()
+
+
+def test_count_star_plain_wide_segments():
+    """Regression: bare count(*) over PLAIN (non-succinct) full-width
+    segments once slipped into the multi tier with zero word planes; the
+    lane grid defaulted to TILE_L and every 65536-row segment counted as
+    32768 (found by SequentialInsert verification at scale 1.0)."""
+    cfg = at.DBConfig()
+    cfg.succinct_enabled = False  # plain segments, default 65536 rows
+    db = at.Database(config=cfg)
+    try:
+        con = db.connect()
+        con.query("CREATE TABLE t(i UINTEGER)")
+        n = 200_000
+        app = con.appender("t")
+        app.append_column("i", np.arange(n, dtype=np.uint32))
+        app.close()
+        assert int(con.query("SELECT count(*) FROM t").scalar()) == n
+        r = con.query("SELECT count(*), sum(i) FROM t").fetchone()
+        assert int(r[0]) == n and int(r[1]) == n * (n - 1) // 2
+    finally:
+        db.close()
