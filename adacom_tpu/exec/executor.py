@@ -3120,12 +3120,10 @@ class _StreamAggFold:
         self.prims_parts: list = []
         self.rows_pending = 0
         self.merged = None
-        self.saw_rows = False
 
     def add(self, mat: "Mat") -> None:
         if mat.nrows == 0:
             return
-        self.saw_rows = True
         uniq, prim = self.ex._agg_partials(self.node, mat, self.lits,
                                            self.specs)
         self.keys_parts.append(uniq)

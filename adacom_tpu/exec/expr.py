@@ -717,34 +717,34 @@ class ExprCompiler:
                 if is_ts:
                     us = v.astype(jnp.int64)
                     if part == "epoch":
-                        return us // jnp.int64(1_000_000), m
+                        return us // np.int64(1_000_000), m
                     if part == "hour":
-                        return (us // jnp.int64(3_600_000_000)) % jnp.int64(24), m
+                        return (us // np.int64(3_600_000_000)) % np.int64(24), m
                     if part == "minute":
-                        return (us // jnp.int64(60_000_000)) % jnp.int64(60), m
+                        return (us // np.int64(60_000_000)) % np.int64(60), m
                     if part == "second":
-                        return (us // jnp.int64(1_000_000)) % jnp.int64(60), m
-                    days = us // jnp.int64(86_400_000_000)
+                        return (us // np.int64(1_000_000)) % np.int64(60), m
+                    days = us // np.int64(86_400_000_000)
                 else:
                     days = v.astype(jnp.int64)
                     if part in ("hour", "minute", "second"):
-                        return jnp.zeros_like(days), m
+                        return _xp(days).zeros_like(days), m
                 if part == "epoch":
-                    return days * jnp.int64(86400), m
+                    return days * np.int64(86400), m
                 if part == "dow":
                     # Sunday = 0 (1970-01-01 was a Thursday -> 4)
-                    return (days + jnp.int64(4)) % jnp.int64(7), m
+                    return (days + np.int64(4)) % np.int64(7), m
                 if part == "week":
                     return _iso_week(days), m
                 y, mo, d = _civil_from_days(days)
                 if part == "quarter":
                     out = (mo + 2) // 3
                 elif part == "doy":
-                    out = days - _days_from_civil(y, jnp.ones_like(mo),
-                                                  jnp.ones_like(d)) + 1
+                    out = days - _days_from_civil(y, _xp(mo).ones_like(mo),
+                                                  _xp(d).ones_like(d)) + 1
                 else:
                     out = {"year": y, "month": mo, "day": d}[part]
-                return out.astype(jnp.int64), m
+                return out.astype(np.int64), m
             return fn
         if name == "date_trunc":
             # bound as date_trunc with args = [part literal, date]; the
@@ -762,30 +762,30 @@ class ExprCompiler:
                                 "hour": 3_600_000_000,
                                 "day": 86_400_000_000}.get(part)
                         if step is not None:
-                            return us - us % jnp.int64(step), m
+                            return us - us % np.int64(step), m
                         # month/year/...: truncate in day space, back to us
-                        days = us // jnp.int64(86_400_000_000)
+                        days = us // np.int64(86_400_000_000)
                         y, mo, d = _civil_from_days(days)
-                        one = jnp.ones_like(mo)
+                        one = _xp(mo).ones_like(mo)
                         if part == "month":
                             out = _days_from_civil(y, mo, one)
                         elif part == "quarter":
                             qm = ((mo - 1) // 3) * 3 + 1
                             out = _days_from_civil(y, qm, one)
                         elif part == "week":
-                            out = days - (days + jnp.int64(3)) % jnp.int64(7)
+                            out = days - (days + np.int64(3)) % np.int64(7)
                         else:  # year
                             out = _days_from_civil(y, one, one)
-                        return out * jnp.int64(86_400_000_000), m
+                        return out * np.int64(86_400_000_000), m
                     days = v.astype(jnp.int64)
                     if part == "day":
                         return days.astype(jnp.int32), m
                     if part == "week":
                         # truncate to Monday
-                        return (days - (days + jnp.int64(3)) %
-                                jnp.int64(7)).astype(jnp.int32), m
+                        return (days - (days + np.int64(3)) %
+                                np.int64(7)).astype(jnp.int32), m
                     y, mo, d = _civil_from_days(days)
-                    one = jnp.ones_like(mo)
+                    one = _xp(mo).ones_like(mo)
                     if part == "month":
                         out = _days_from_civil(y, mo, one)
                     elif part == "quarter":
@@ -805,7 +805,7 @@ class ExprCompiler:
                 y, mo, d = _civil_from_days(v.astype(jnp.int64))
                 tot = y * 12 + mo  # first of next month
                 out = _days_from_civil(tot // 12, tot % 12 + 1,
-                                       jnp.ones_like(d)) - 1
+                                       _xp(d).ones_like(d)) - 1
                 return out.astype(jnp.int32), m
             return fn
         if name in ("date_diff_day", "date_diff_month", "date_diff_year"):
@@ -845,8 +845,9 @@ class ExprCompiler:
                     nv, nm = af(cols, args)
                     if m is None:
                         break
-                    v = jnp.where(m, v, nv)
-                    m = m | (jnp.ones(v.shape, jnp.bool_) if nm is None else nm)
+                    xp = _xp(v) if not isinstance(nv, np.ndarray) or isinstance(v, np.ndarray) else np
+                    v = xp.where(m, v, nv)
+                    m = m | (xp.ones(np.shape(v), np.bool_) if nm is None else nm)
                 return v, m
             return fn
         raise NotImplementedError(f"function {name}")
@@ -863,35 +864,37 @@ def _and_mask(a, b_):
 
 def _iso_week(days):
     """ISO-8601 week number from days-since-epoch (vectorized)."""
-    dow_mon0 = (days + jnp.int64(3)) % jnp.int64(7)  # Monday = 0
-    thursday = days - dow_mon0 + jnp.int64(3)
+    dow_mon0 = (days + np.int64(3)) % np.int64(7)  # Monday = 0
+    thursday = days - dow_mon0 + np.int64(3)
     y, _, _ = _civil_from_days(thursday)
-    jan1 = _days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
-    return (thursday - jan1) // jnp.int64(7) + jnp.int64(1)
+    jan1 = _days_from_civil(y, _xp(y).ones_like(y), _xp(y).ones_like(y))
+    return (thursday - jan1) // np.int64(7) + np.int64(1)
 
 
 # --- Howard Hinnant's civil-date algorithms, vectorized (branch-free) ----
 
 
 def _civil_from_days(z):
+    xp = _xp(z)
     z = z + 719468
-    era = jnp.where(z >= 0, z, z - 146096) // 146097
+    era = xp.where(z >= 0, z, z - 146096) // 146097
     doe = z - era * 146097
     yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
     y = yoe + era * 400
     doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
     mp = (5 * doy + 2) // 153
     d = doy - (153 * mp + 2) // 5 + 1
-    m = jnp.where(mp < 10, mp + 3, mp - 9)
-    y = jnp.where(m <= 2, y + 1, y)
+    m = xp.where(mp < 10, mp + 3, mp - 9)
+    y = xp.where(m <= 2, y + 1, y)
     return y, m, d
 
 
 def _days_from_civil(y, m, d):
-    y = jnp.where(m <= 2, y - 1, y)
-    era = jnp.where(y >= 0, y, y - 399) // 400
+    xp = _xp(y)
+    y = xp.where(m <= 2, y - 1, y)
+    era = xp.where(y >= 0, y, y - 399) // 400
     yoe = y - era * 400
-    mp = jnp.where(m > 2, m - 3, m + 9)
+    mp = xp.where(m > 2, m - 3, m + 9)
     doy = (153 * mp + 2) // 5 + d - 1
     doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
     return era * 146097 + doe - 719468
