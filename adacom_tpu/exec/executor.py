@@ -748,28 +748,16 @@ class Executor:
 
         # build every join stage's hash table (build sides materialize
         # once — the reference's per-pipeline sink dependency)
-        budget = getattr(self.config, "memory_limit", None)
-        built = {}  # id(join node) -> (right, rkeys, exact, rk64, ht)
+        built = {}  # id(join node) -> (right, rkeys, exact, ht)
         try:
             for kind, jn in stages:
                 if kind != "join":
                     continue
                 right = self._exec(jn.right, lits)
-                rkeys = []
-                for _le, re_ in jn.conditions:
-                    (rv, rm), = self._eval_on_mat([re_], right, lits)
-                    rk = np.asarray(rv)
-                    if rm is not None:
-                        rk = np.where(np.asarray(rm), rk,
-                                      _null_key(rk.dtype))
-                    rkeys.append(rk)
-                if budget and len(rkeys[0]) * 24 > budget // 2:
-                    return None  # beyond budget: grace-hash spill path
-                exact = (len(rkeys) == 1 and rkeys[0].dtype.kind in "iu"
-                         and rkeys[0].dtype != np.uint64)
-                rk64 = (np.ascontiguousarray(rkeys[0], dtype=np.int64)
-                        if exact else _row_keys(rkeys).view(np.int64))
-                ht = _native.JoinTable(rk64)
+                got = self._build_join_ht(jn, right, lits)
+                if got is None:
+                    return None
+                rkeys, exact, ht = got
                 built[id(jn)] = (right, rkeys, exact, ht)
 
             fold = _StreamAggFold(self, node, lits, specs, finishers)
@@ -2247,6 +2235,31 @@ class Executor:
             and node.join_type in ("inner", "semi", "anti")
             and isinstance(node.left, b.LogicalGet))
 
+    def _build_join_ht(self, node: b.LogicalJoin, right: Mat, lits):
+        """Build-side keys + persistent native hash table for a streamed
+        probe; returns (rkeys, exact, ht) or None (budget / native)."""
+        from adacom_tpu import native as _native
+
+        rkeys = []
+        for _le, re_ in node.conditions:
+            (rv, rm), = self._eval_on_mat([re_], right, lits)
+            rk = np.asarray(rv)
+            if rm is not None:
+                rk = np.where(np.asarray(rm), rk, _null_key(rk.dtype))
+            rkeys.append(rk)
+        budget = getattr(self.config, "memory_limit", None)
+        if budget and len(rkeys[0]) * 24 > budget // 2:
+            return None  # beyond budget: grace-hash spill path
+        exact = (len(rkeys) == 1 and rkeys[0].dtype.kind in "iu"
+                 and rkeys[0].dtype != np.uint64)
+        rk64 = (np.ascontiguousarray(rkeys[0], dtype=np.int64) if exact
+                else _row_keys(rkeys).view(np.int64))
+        try:
+            ht = _native.JoinTable(rk64)
+        except RuntimeError:
+            return None
+        return rkeys, exact, ht
+
     def _exec_join_streaming(self, node: b.LogicalJoin, right: Mat,
                              lits) -> Optional[Mat]:
         """Pipelined hash-join probe (reference pipeline_executor.cpp:38
@@ -2267,25 +2280,10 @@ class Executor:
         jt = node.join_type
         table = get.table
         snap = self._pin_snapshot(table)
-        # build-side keys, hashed once
-        rkeys = []
-        for _le, re_ in node.conditions:
-            (rv, rm), = self._eval_on_mat([re_], right, lits)
-            rk = np.asarray(rv)
-            if rm is not None:
-                rk = np.where(np.asarray(rm), rk, _null_key(rk.dtype))
-            rkeys.append(rk)
-        budget = getattr(self.config, "memory_limit", None)
-        if budget and len(rkeys[0]) * 24 > budget // 2:
-            return None  # build side beyond budget: grace-hash spill path
-        exact = (len(rkeys) == 1 and rkeys[0].dtype.kind in "iu"
-                 and rkeys[0].dtype != np.uint64)
-        rk64 = (np.ascontiguousarray(rkeys[0], dtype=np.int64) if exact
-                else _row_keys(rkeys).view(np.int64))
-        try:
-            ht = _native.JoinTable(rk64)
-        except RuntimeError:
+        built = self._build_join_ht(node, right, lits)
+        if built is None:
             return None
+        rkeys, exact, ht = built
         filt = self._compiled_filter(get)
         params = filt.prep_args(lits) if filt is not None else ()
         candidates = self._zonemap_candidates(get, lits, snap)
@@ -2293,30 +2291,8 @@ class Executor:
         dicts = getattr(get, "dicts", [None] * len(get.names))
 
         def probe_morsel(i):
-            segs = [snap.segment(c, i) for c in get.column_ids]
-            cols = [(s.host_plain(), s.host_validity()) for s in segs]
-            n = segs[0].count if segs else 0
-            mask = None
-            if filt is not None:
-                try:
-                    fv, fm = filt.fn(cols, params)
-                except Exception:
-                    raise _FallbackToDevice()
-                if not isinstance(fv, np.ndarray):
-                    raise _FallbackToDevice()
-                mask = fv if fm is None else (fv & fm)
-            dm = snap.delete_mask(i)
-            if dm is not None:
-                dmx = np.zeros(n, dtype=bool)
-                dmx[: min(len(dm), n)] = dm[:n]
-                mask = ~dmx if mask is None else (mask & ~dmx)
-            rows = np.nonzero(mask)[0] if mask is not None else None
-            chunk = Mat(
-                list(get.names), list(get.types), list(dicts),
-                [c[rows] if rows is not None else c for c, _v in cols],
-                [None if v is None else
-                 (v[rows] if rows is not None else v) for _c, v in cols],
-            )
+            chunk = self._scan_chunk_host(get, snap, i, filt, params,
+                                          list(dicts))
             lkeys = []
             for le in lexprs:
                 (lv, lm), = self._eval_on_mat([le], chunk, lits)
