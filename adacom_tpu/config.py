@@ -55,14 +55,6 @@ class DBConfig:
     # u32 plane, range predicate, sum/count/min/max). Falls back to the
     # XLA fused path when ineligible. Interpreted (slow) off-TPU.
     pallas_scan_enabled: bool = True
-    # Row-count threshold above which ORDER BY runs on the TPU
-    # (ops/device_join.py lexsort) instead of the native radix sort;
-    # 0 disables. Only active on a TPU backend — the fixed
-    # dispatch+transfer cost needs large inputs to amortize. (The
-    # analogous single-chip device JOIN path was measured 8-14x slower
-    # than the native hash table at every feasible size and deleted:
-    # DEVICE_JOIN_CURVE.md.)
-    device_sort_rows: int = 50_000_000
     # Grouped aggregates over dense domains too large for the one-hot
     # Pallas tiers ride the pooled XLA device kernel only when the table
     # has at least this many rows; below it the host hash aggregate wins
@@ -169,8 +161,7 @@ class DBConfig:
             if v not in ("succinct", "auto", "uncompressed") and v not in _codecs.REGISTRY:
                 raise ValueError(f"unknown compression codec: {v}")
             self.compression_codec = v
-        elif key in ("host_scan_segment_limit",
-                     "device_sort_rows", "distributed_join_rows",
+        elif key in ("host_scan_segment_limit", "distributed_join_rows",
                      "index_join_max_probe", "auto_index_threshold",
                      "device_agg_min_rows"):
             setattr(self, key, int(value))

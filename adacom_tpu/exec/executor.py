@@ -2512,19 +2512,11 @@ class Executor:
             P = max(2, (sum(k.nbytes for k in keys) * 3)
                     // max(budget // 8, 1))
             return spill.external_sort_indices(keys, P)
-        thresh = getattr(self.config, "device_sort_rows", 0)
-        if thresh and len(keys[0]) >= thresh:
-            # large sorts: order-normalize every key to u64 and run the
-            # multi-key argsort on the TPU (ops/device_join.lexsort)
-            from adacom_tpu.ops import device_join
-
-            if device_join.on_tpu():
-                us = [_order_preserving_u64(k) for k in keys]
-                if all(u is not None for u in us):
-                    flipped = [
-                        (u ^ np.uint64(1 << 63)).view(np.int64) for u in us
-                    ]
-                    return device_join.lexsort(flipped)
+        # NOTE: a device lexsort dispatch lived here rounds 2-4; measured
+        # 7.6-14x slower than the native LSD radix sort at every size from
+        # 1M to 48M keys on this link (DEVICE_JOIN_CURVE.md) — removed
+        # like the device join; mesh-sharded sorts happen inside shard_map
+        # where the data already lives on device (parallel/ops.py).
         if len(keys) == 1 and len(keys[0]) >= 4096:
             u = _order_preserving_u64(keys[0])
             if u is not None:
@@ -3420,11 +3412,11 @@ def _hash_join_pairs(lkeys: List[np.ndarray], rkeys: List[np.ndarray],
     """All matching (left_idx, right_idx) pairs for equi-keys (vectorized
     sort-probe join with hash-combined multi-column keys + verification).
 
-    Large inputs on a TPU backend run the sort + binary-search probe on
-    the device (ops/device_join.py — JoinHashTable Build/Probe parity);
-    with a mesh attached, unique-build-key joins shuffle over all_to_all
-    (parallel/ops.make_distributed_join_rowids). The host keeps the
-    variable-length pair expansion either way."""
+    With a mesh attached, unique-build-key joins shuffle over all_to_all
+    (parallel/ops.make_distributed_join_rowids); otherwise the native
+    chained hash table serves every size (JoinHashTable Build/Probe
+    parity — the single-chip device join lost 8-14x at every feasible
+    size on this link and was deleted, DEVICE_JOIN_CURVE.md)."""
     # single integer key: the value IS the join key — no hashing and, with
     # no collisions possible, no pair verification (uint64 excluded: its
     # top half aliases negative int64 under the common conversion)
