@@ -644,7 +644,7 @@ def grouped_scan_table(gwords, vwords, counts, gmins, vmins, n_groups,
 # decode of EVERY referenced column in one VMEM pass)
 # ======================================================================
 
-MAX_MULTI_GROUPS = 8    # one-hot accumulator height; larger domains -> XLA
+MAX_MULTI_GROUPS = 16   # one-hot accumulator height; larger domains -> XLA
 MAX_MULTI_PLANES = 8
 MAX_MONO_DEGREE = 3     # product aggregates of at most 3 columns
 

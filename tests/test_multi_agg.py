@@ -182,3 +182,32 @@ def test_count_star_plain_wide_segments():
         assert int(r[0]) == n and int(r[1]) == n * (n - 1) // 2
     finally:
         db.close()
+
+
+def test_twelve_group_domain_rides_multi_tier():
+    """Domains in (8, 16] ride the widened one-hot tier."""
+    cfg = at.DBConfig()
+    cfg.segment_rows = 4096
+    db = at.Database(config=cfg)
+    try:
+        con = db.connect()
+        rng = np.random.default_rng(6)
+        n = 30_000
+        con.query("CREATE TABLE t(g INTEGER, v DECIMAL(12,2), "
+                  "w DECIMAL(12,2))")
+        app = con.appender("t")
+        app.append_columns({"g": rng.integers(0, 12, n).astype(np.int32),
+                            "v": rng.integers(0, 10_000, n),
+                            "w": rng.integers(0, 50, n)})
+        app.close()
+        db.catalog.get_column_segment_catalog().compact_all_segments()
+        q = ("SELECT g, sum(v * w), sum(v), count(*) FROM t "
+             "WHERE v >= 10 GROUP BY g ORDER BY g")
+        r1 = con.query(q).fetchall()
+        assert len(r1) == 12
+        assert db.dist_stats.get("pallas_multi_agg", 0) >= 1
+        db.config.pallas_scan_enabled = False
+        r2 = db.connect().query(q).fetchall()
+        assert r1 == r2
+    finally:
+        db.close()
