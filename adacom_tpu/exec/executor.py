@@ -731,7 +731,7 @@ class Executor:
                 stages.append(("project", cur))
                 cur = cur.child
             elif isinstance(cur, b.LogicalJoin):
-                if (not cur.conditions or cur.residual is not None
+                if (not cur.conditions
                         or cur.join_type not in ("inner", "semi", "anti")):
                     return None
                 if self._ij_eligible(cur, "right") or \
@@ -856,6 +856,11 @@ class Executor:
             for lcol, rcol in zip(lkeys, rkeys):
                 ok &= lcol[li].astype(np.int64) == \
                     rcol[ri].astype(np.int64)
+            li, ri = li[ok], ri[ok]
+        if jn.residual is not None and len(li):
+            # non-equi conjuncts evaluated per candidate pair (reference
+            # physical_hash_join.cpp comparison+residual handling)
+            ok = self._residual_mask(jn, chunk, right, li, ri, lits)
             li, ri = li[ok], ri[ok]
         dicts_j = list(getattr(jn, "dicts", [None] * len(jn.names)))
         if jt == "inner":
