@@ -731,8 +731,8 @@ class Executor:
                 stages.append(("project", cur))
                 cur = cur.child
             elif isinstance(cur, b.LogicalJoin):
-                if (not cur.conditions
-                        or cur.join_type not in ("inner", "semi", "anti")):
+                if (not cur.conditions or cur.join_type not in
+                        ("inner", "semi", "anti", "left")):
                     return None
                 if self._ij_eligible(cur, "right") or \
                         self._ij_eligible(cur, "left"):
@@ -870,6 +870,25 @@ class Executor:
                        for v in right.valids]
             return Mat(list(jn.names), list(jn.types), dicts_j,
                        left.cols + rcols, left.valids + rvalids)
+        if jt == "left":
+            # preserved side: unmatched rows append with NULL right
+            # columns (same padding as the materializing join)
+            matched = np.zeros(chunk.nrows, dtype=bool)
+            matched[li] = True
+            un = np.nonzero(~matched)[0]
+            lcols = [np.concatenate([_gather_rows(c, li), c[un]])
+                     for c in chunk.cols]
+            lvalids = [None if v is None
+                       else np.concatenate([v[li], v[un]])
+                       for v in chunk.valids]
+            rcols = [np.concatenate([_gather_rows(c, ri),
+                                     np.zeros(len(un), c.dtype)])
+                     for c in right.cols]
+            rvalids = [np.concatenate([
+                v[ri] if v is not None else np.ones(len(ri), bool),
+                np.zeros(len(un), bool)]) for v in right.valids]
+            return Mat(list(jn.names), list(jn.types), dicts_j,
+                       lcols + rcols, lvalids + rvalids)
         matched = np.zeros(chunk.nrows, dtype=bool)
         matched[li] = True
         keep = np.nonzero(matched if jt == "semi" else ~matched)[0]

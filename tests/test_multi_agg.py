@@ -211,3 +211,47 @@ def test_twelve_group_domain_rides_multi_tier():
         assert r1 == r2
     finally:
         db.close()
+
+
+def test_left_join_pipeline_null_counts():
+    """Aggregate over a LEFT JOIN rides the streamed pipeline; unmatched
+    rows carry NULL right columns so count(right_col) skips them (TPC-H
+    Q13 shape)."""
+    cfg = at.DBConfig()
+    cfg.segment_rows = 2048
+    db = at.Database(config=cfg)
+    try:
+        con = db.connect()
+        rng = np.random.default_rng(19)
+        con.query("CREATE TABLE c(ck INTEGER)")
+        app = con.appender("c")
+        app.append_column("ck", np.arange(6000, dtype=np.int32))
+        app.close()
+        con.query("CREATE TABLE o(ck INTEGER, ok INTEGER)")
+        # only even customers have orders, 0-3 each
+        cks, oks = [], []
+        k = 0
+        for ck in range(0, 6000, 2):
+            for _ in range(int(rng.integers(0, 4))):
+                cks.append(ck)
+                oks.append(k)
+                k += 1
+        app = con.appender("o")
+        app.append_columns({"ck": np.asarray(cks, np.int32),
+                            "ok": np.asarray(oks, np.int32)})
+        app.close()
+        db.catalog.get_column_segment_catalog().compact_all_segments()
+        q = ("SELECT c.ck, count(o.ok) FROM c LEFT JOIN o ON c.ck = o.ck "
+             "GROUP BY c.ck ORDER BY c.ck")
+        r1 = con.query(q).fetchall()
+        assert len(r1) == 6000
+        assert db.dist_stats.get("streamed_join_agg", 0) >= 1
+        import collections
+        exp = collections.Counter(cks)
+        for row in r1:
+            assert int(row[1]) == exp.get(int(row[0]), 0), row
+        db.config.streaming_agg_sink_enabled = False
+        r2 = db.connect().query(q).fetchall()
+        assert r1 == r2
+    finally:
+        db.close()
